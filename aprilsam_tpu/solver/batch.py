@@ -1,0 +1,258 @@
+"""Batch Gauss-Newton + Cholesky solve.
+
+TPU-native re-design of april_graph_cholesky (reference: aprilsam.c:87-375):
+
+  host:  symbolic adjacency -> constrained min-degree ordering -> block
+         symbolic factorization (patterns + etree)        [this module + symbolic.py]
+  device (one fused jit): relinearize all nodes -> batched factor eval ->
+         block scatter-add assembly of A,B -> +tikhonov -> dense (bucketed)
+         Cholesky -> forward solve (keep y, as the reference keeps param->y,
+         aprilsam.c:293-298) -> back substitution -> update all states ->
+         extract the block-sparse R rows on the symbolic pattern.
+
+The v0 numeric path factors a dense bucketed matrix (exact, pattern-agnostic)
+and gathers R's structural blocks out of it; the block-sparse panel
+factorization kernel replaces the dense chol for large graphs (kernels/).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import FactorGraph
+from ..kernels.assembly import assemble_block_dense
+from .config import SolverConfig
+from .state import DeviceState, init_device_state, state_chi2
+from . import symbolic as sym_mod
+from .symbolic import SymbolicState
+
+
+def node_bucket(n: int, cap: int) -> int:
+    b = 256
+    while b < n:
+        b *= 2
+    return min(b, cap) if b <= cap else cap
+
+
+def _ext_bucket(k: int) -> int:
+    b = 1024
+    while b < k:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("MB", "KEXT"), donate_argnames=("ds",))
+def _batch_step(
+    ds: DeviceState,
+    pos_new,        # [NCAP] int32 node id -> position (fresh ordering)
+    order_new,      # [NCAP] int32
+    R_idx_new,      # [NCAP, BCAP] int32
+    R_nnz_new,      # [NCAP] int32
+    ext_p,          # [KEXT] int32 block-row positions of pattern entries
+    ext_slot,       # [KEXT] int32 slot within the row
+    ext_c,          # [KEXT] int32 block-col positions
+    ext_valid,      # [KEXT] bool
+    tikhonov,
+    MB: int,
+    KEXT: int,
+):
+    NCAP = ds.state.shape[0]
+    dtype = ds.R_blocks.dtype
+    FCAP = ds.xyt_a.shape[0]
+    FPOS = ds.pos_node.shape[0]
+
+    # relinearize all nodes: l_point <- state (aprilsam.c:131-135)
+    l_point = ds.state
+
+    xyt_valid = jnp.arange(FCAP, dtype=jnp.int32) < ds.n_xyt
+    pos_valid = jnp.arange(FPOS, dtype=jnp.int32) < ds.n_pos
+
+    A, B = assemble_block_dense(
+        l_point, ds.state, pos_new,
+        jnp.where(xyt_valid, ds.xyt_a, 0), jnp.where(xyt_valid, ds.xyt_b, 0),
+        ds.xyt_z, ds.xyt_W, xyt_valid,
+        jnp.where(pos_valid, ds.pos_node, 0), ds.pos_z, ds.pos_W, pos_valid,
+        MB=MB,
+        tikhonov=tikhonov,
+        dtype=dtype,
+    )
+
+    L = jnp.linalg.cholesky(A)
+    # y: forward solve L y = B; x: back solve L^T x = y (smatd_chol_solve_full,
+    # smatd.c:1100-1114)
+    y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+    # scatter dx to node space and update: state = l_point + dx, wrap theta,
+    # NaN guard (xyt_node_update, april_graph_xyt.c:302-314)
+    node_ids = jnp.arange(NCAP, dtype=jnp.int32)
+    valid_node = node_ids < ds.nnodes
+    p_of_node = jnp.where(valid_node, pos_new, 0)
+    dxb = x.reshape(MB, 3)
+    dx_node = jnp.where(valid_node[:, None], dxb[jnp.clip(p_of_node, 0, MB - 1)], 0.0)
+    ok = valid_node & ~jnp.any(jnp.isnan(dx_node), axis=1)
+    from ..geometry import mod2pi
+
+    new_state = jnp.where(ok[:, None], l_point + dx_node, ds.state)
+    new_state = new_state.at[:, 2].set(
+        jnp.where(ok, mod2pi(new_state[:, 2]), new_state[:, 2])
+    )
+    new_delta = jnp.where(ok[:, None], dx_node, ds.delta_X)
+
+    # extract block-sparse R rows on the symbolic pattern: R[p, slot] =
+    # L[c-block, p-block]^T (the reference copies CSparse L columns into smatd
+    # rows, aprilsam.c:237-249)
+    Lb = L.reshape(MB, 3, MB, 3).transpose(0, 2, 1, 3)  # [rowblk, colblk, 3, 3]
+    cp = jnp.clip(ext_c, 0, MB - 1)
+    pp = jnp.clip(ext_p, 0, MB - 1)
+    blocks = Lb[cp, pp].transpose(0, 2, 1)  # [KEXT, 3, 3]
+    blocks = jnp.where(ext_valid[:, None, None], blocks, 0.0)
+    dest_p = jnp.where(ext_valid, ext_p, NCAP - 1)
+    dest_s = jnp.where(ext_valid, ext_slot, ds.R_idx.shape[1] - 1)
+    R_blocks = jnp.zeros_like(ds.R_blocks).at[dest_p, dest_s].set(
+        blocks, mode="drop"
+    )
+
+    y_full = jnp.zeros(NCAP * 3, dtype=dtype).at[: MB * 3].set(y)
+
+    spd = jnp.all(jnp.isfinite(jnp.diagonal(L)[: MB]))
+
+    ds = ds._replace(
+        R_blocks=R_blocks,
+        R_idx=R_idx_new,
+        R_nnz=R_nnz_new,
+        y=y_full,
+        state=new_state,
+        l_point=l_point,
+        delta_X=new_delta,
+        relinearized=jnp.zeros_like(ds.relinearized),
+        pos=pos_new,
+        order=order_new,
+        start_over=jnp.int32(0),
+    )
+    chi2 = state_chi2(ds)
+    return ds, chi2, spd
+
+
+class BatchInfo(NamedTuple):
+    chi2: float
+    spd: bool
+    n: int
+
+
+def run_batch_epoch(
+    ds: DeviceState,
+    cfg: SolverConfig,
+    nnodes: int,
+    ftypes: np.ndarray,
+    fnodes: np.ndarray,
+) -> Tuple[DeviceState, SymbolicState, BatchInfo]:
+    """Full batch epoch: host symbolic phase + device numeric step.
+
+    `ftypes`/`fnodes` are the host factor table (all valid factors), used only
+    for symbolic structure.
+    """
+    NCAP = cfg.node_capacity
+    BCAP = cfg.row_block_capacity
+
+    adj = sym_mod.build_adjacency(nnodes, ftypes, fnodes)
+    order = sym_mod.min_degree_ordering(nnodes, adj)
+    sym = sym_mod.build_symbolic(nnodes, adj, order)
+
+    R_idx_np, R_nnz_np = sym_mod.padded_pattern_arrays(sym, NCAP, BCAP, NCAP)
+
+    # flat extraction map over all pattern entries
+    ps, slots, cs = [], [], []
+    for p, pat in enumerate(sym.patterns):
+        ps.append(np.full(len(pat), p, dtype=np.int32))
+        slots.append(np.arange(len(pat), dtype=np.int32))
+        cs.append(pat)
+    if ps:
+        ext_p = np.concatenate(ps)
+        ext_slot = np.concatenate(slots)
+        ext_c = np.concatenate(cs)
+    else:
+        ext_p = ext_slot = ext_c = np.zeros(0, dtype=np.int32)
+    K = ext_p.shape[0]
+    KEXT = _ext_bucket(K)
+    pad = KEXT - K
+    ext_p = np.pad(ext_p, (0, pad))
+    ext_slot = np.pad(ext_slot, (0, pad))
+    ext_c = np.pad(ext_c, (0, pad))
+    ext_valid = np.zeros(KEXT, dtype=bool)
+    ext_valid[:K] = True
+
+    pos_full = np.arange(NCAP, dtype=np.int32)
+    pos_full[: nnodes] = sym.pos
+    order_full = np.arange(NCAP, dtype=np.int32)
+    order_full[: nnodes] = sym.order
+
+    MB = node_bucket(nnodes, NCAP)
+
+    ds, chi2, spd = _batch_step(
+        ds,
+        jnp.asarray(pos_full),
+        jnp.asarray(order_full),
+        jnp.asarray(R_idx_np),
+        jnp.asarray(R_nnz_np),
+        jnp.asarray(ext_p),
+        jnp.asarray(ext_slot),
+        jnp.asarray(ext_c),
+        jnp.asarray(ext_valid),
+        jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
+        MB=MB,
+        KEXT=KEXT,
+    )
+    return ds, sym, BatchInfo(chi2=float(chi2), spd=bool(spd), n=nnodes)
+
+
+class BatchSolver:
+    """One-shot batch Gauss-Newton solver over a FactorGraph — the
+    counterpart of calling april_graph_cholesky directly (batch-only mode,
+    examples/aprilsam_demo.c:224-228)."""
+
+    def __init__(self, cfg: Optional[SolverConfig] = None):
+        self.cfg = cfg or SolverConfig()
+        self.ds = init_device_state(self.cfg)
+        self.sym: Optional[SymbolicState] = None
+        self._ingested_nodes = 0
+        self._ingested_factors = 0
+
+    def _ingest(self, g: FactorGraph):
+        """Copy new nodes/factors from the host graph into device tables."""
+        from .ingest import ingest_graph
+
+        self.ds = ingest_graph(
+            self.ds, g, self.cfg, self._ingested_nodes, self._ingested_factors
+        )
+        self._ingested_nodes = g.nnodes
+        self._ingested_factors = g.nfactors
+
+    def solve(self, g: FactorGraph) -> BatchInfo:
+        if g.nnodes == 0 or g.nfactors == 0:
+            return BatchInfo(chi2=0.0, spd=True, n=0)  # aprilsam.c:90-91
+        self._ingest(g)
+        n = g.nnodes
+        self.ds, self.sym, info = run_batch_epoch(
+            self.ds, self.cfg, n, g.ftype[: g.nfactors], g.fnodes[: g.nfactors]
+        )
+        return info
+
+    def chi2(self) -> float:
+        return float(state_chi2(self.ds))
+
+    def sync_states(self, g: FactorGraph) -> None:
+        st = np.asarray(self.ds.state[: g.nnodes], dtype=np.float64)
+        g.state[: g.nnodes] = st
+        g.l_point[: g.nnodes] = np.asarray(
+            self.ds.l_point[: g.nnodes], dtype=np.float64
+        )
+        g.delta_X[: g.nnodes] = np.asarray(
+            self.ds.delta_X[: g.nnodes], dtype=np.float64
+        )

@@ -1,0 +1,51 @@
+"""Solver configuration.
+
+TPU-native split of the reference's april_graph_cholesky_param_t
+(reference: aprilsam.h:230-269): immutable hyper-parameters live here;
+mutable solver state (R factor, y, ordering, tree, counters) lives in
+solver/state.py as a device pytree + host symbolic state.
+
+Defaults match the reference demo exactly: tikhonov 1e-4
+(april_graph_cholesky_param_init, aprilsam.c:45-64), delta_xy = 0.1,
+delta_theta = 0.1, nthreshold = 100 (examples/aprilsam_demo.c:250-252).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    # --- policy thresholds (reference semantics) ---
+    delta_xy: float = 0.1        # relinearization |dx|,|dy| threshold
+    delta_theta: float = 0.1     # relinearization |dtheta| threshold
+    nthreshold: int = 100        # batch fallback when start_over exceeds this
+    tikhonov: float = 1e-4       # diagonal damping, batch assembly only
+    # Incremental steps slower than batch_time/3 force a batch
+    # (aprilsam.c:557-559); naffected <= small_path_max takes the pruned
+    # fast path (aprilsam.c:755-772 "naffected <= 5").
+    batch_time_fraction: float = 1.0 / 3.0
+    small_path_max: int = 5
+
+    # --- numerics ---
+    dtype: np.dtype = np.float64   # float32 on TPU for speed, float64 for parity tests
+    check_spd: bool = True         # trigger batch fallback on non-SPD frontal
+                                   # (fixes the reference's ignored is_spd flag,
+                                   # smatd.c:669-699)
+
+    # --- capacities (static shapes; grow => recompile) ---
+    node_capacity: int = 4096      # max nodes before reallocation
+    factor_capacity: int = 8192    # max factors
+    row_block_capacity: int = 96   # max 3x3 blocks per R row (fill headroom)
+    new_factor_capacity: int = 16  # max new factors per incremental step
+    frontal_buckets: tuple = (16, 64, 256, 1024)  # padded affected-set sizes
+    panel_nodes: int = 128         # nodes per triangular-solve panel (384 scalars)
+
+    show_timing: bool = False
+
+    @property
+    def jnp_dtype(self):
+        return np.dtype(self.dtype)

@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+from aprilsam_tpu.graph import FactorGraph
+from aprilsam_tpu.solver import BatchSolver, SolverConfig
+from aprilsam_tpu.replay import Replay
+
+from conftest import M3500_TXT
+
+
+def small_cfg(**kw):
+    kw.setdefault("node_capacity", 512)
+    kw.setdefault("factor_capacity", 1024)
+    kw.setdefault("row_block_capacity", 64)
+    return SolverConfig(**kw)
+
+
+def build_dogleg(nposes=6):
+    """The tutorial graph: poses at (i, 0, 0), geopin on node 0, chained
+    odometry, and a final loop closure claiming node 5 sits at (5, 1, 0)
+    (examples/aprilsam_tutorial.c:80-266)."""
+    from aprilsam_tpu.geometry import np_xyt_inv_mul
+
+    g = FactorGraph()
+    W_odo = np.diag([1.0 / 0.1**2, 1.0 / 0.1**2, 1.0 / np.radians(1.0) ** 2])
+    g.add_node([0, 0, 0], init=[0, 0, 0], truth=[0, 0, 0])
+    g.add_factor_xytpos(0, [0, 0, 0], np.diag([1e4, 1e4, 1e3]))
+    for i in range(1, nposes):
+        g.add_node([i, 0, 0], init=[i, 0, 0], truth=[i, 0, 0])
+        z = np_xyt_inv_mul(g.init[i - 1], g.init[i])
+        g.add_factor_xyt(i - 1, i, z, W_odo)
+    return g, W_odo
+
+
+def test_batch_single_node():
+    """Step 1 of the tutorial: one node + geopin, chi2 -> 0."""
+    g, _ = build_dogleg(nposes=1)
+    s = BatchSolver(small_cfg())
+    info = s.solve(g)
+    assert info.spd
+    assert info.chi2 < 1e-9
+    s.sync_states(g)
+    np.testing.assert_allclose(g.states[0], 0.0, atol=1e-8)
+
+
+def test_batch_dogleg_chain():
+    """Steps 1-5: consistent chain, chi2 stays ~0, states at (i,0,0)."""
+    g, _ = build_dogleg(nposes=5)
+    s = BatchSolver(small_cfg())
+    info = s.solve(g)
+    assert info.chi2 < 1e-9
+    s.sync_states(g)
+    for i in range(5):
+        np.testing.assert_allclose(g.states[i], [i, 0, 0], atol=1e-6)
+
+
+def test_batch_dogleg_loop_closure():
+    """Step 6 golden: after the (5,1,0) loop closure one batch GN step gives
+    chi2 ~ 7.805041 and the y-ramp 0.16/0.32/0.50/0.67/0.84
+    (tests/golden/tutorial.txt, BASELINE.md)."""
+    from aprilsam_tpu.geometry import np_xyt_inv_mul
+
+    g, W_odo = build_dogleg(nposes=6)
+    z = np_xyt_inv_mul(np.array([0.0, 0, 0]), np.array([5.0, 1, 0]))
+    g.add_factor_xyt(0, 5, z, W_odo)
+    s = BatchSolver(small_cfg())
+    info = s.solve(g)
+    # chi2 matches the C tutorial print to all 6 decimals; states match its
+    # 2-decimal print (0.16/0.32/0.50/0.67/0.84)
+    assert abs(info.chi2 - 7.805041) < 1e-5
+    s.sync_states(g)
+    ys = g.states[:6, 1]
+    np.testing.assert_allclose(
+        ys, [0.0, 0.156098, 0.323291, 0.496825, 0.671944, 0.843894], atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_m3500_batch_replay_prefix(m3500):
+    """Per-step chi2 of batch-only replay matches the C reference golden for
+    the first K poses (the C prefix depends only on these poses' factors)."""
+    golden = np.loadtxt("tests/golden/m3500_batch_chi2.txt")
+    K = 60
+    cfg = small_cfg()
+    rep = Replay(m3500, cfg, batch_update_only=True)
+    res = rep.run(max_steps=K)
+    ours = np.array([r.chi2 for r in res])
+    np.testing.assert_allclose(ours, golden[:K], rtol=1e-4, atol=1e-5)
