@@ -29,6 +29,9 @@ class SolverConfig:
     # fast path (aprilsam.c:755-772 "naffected <= 5").
     batch_time_fraction: float = 1.0 / 3.0
     small_path_max: int = 5
+    # Disable for deterministic runs (differential tests): the reference's
+    # wall-clock gate makes the incremental trajectory machine-dependent.
+    wallclock_gate: bool = True
 
     # --- numerics ---
     dtype: np.dtype = np.float64   # float32 on TPU for speed, float64 for parity tests

@@ -1,0 +1,218 @@
+import numpy as np
+import pytest
+
+from aprilsam_tpu.graph import FactorGraph
+from aprilsam_tpu.solver import IncrementalSolver, SolverConfig
+from aprilsam_tpu.replay import Replay
+from aprilsam_tpu.geometry import np_xyt_inv_mul
+
+
+def small_cfg(**kw):
+    kw.setdefault("node_capacity", 512)
+    kw.setdefault("factor_capacity", 2048)
+    kw.setdefault("row_block_capacity", 64)
+    kw.setdefault("panel_nodes", 32)
+    kw.setdefault("wallclock_gate", False)
+    return SolverConfig(**kw)
+
+
+W_ODO = np.diag([100.0, 100.0, (180.0 / np.pi) ** 2])
+
+
+def dense_R_and_A(solver):
+    """Reconstruct dense R from block rows, return (R, R^T R) on the active
+    n x n position window."""
+    ds = solver.ds
+    n = int(ds.nnodes)
+    NCAP = ds.state.shape[0]
+    Rb = np.asarray(ds.R_blocks)
+    Ri = np.asarray(ds.R_idx)
+    R = np.zeros((3 * n, 3 * n))
+    for p in range(n):
+        for s in range(Ri.shape[1]):
+            c = Ri[p, s]
+            if c >= NCAP or c >= n:
+                continue
+            R[3 * p : 3 * p + 3, 3 * c : 3 * c + 3] = Rb[p, s]
+    return R, R.T @ R
+
+
+def expected_A(g, solver, tikhonov_nodes):
+    """Assemble the expected normal equations at the CURRENT l_points in
+    position space, with tikhonov only on the rows that existed at the last
+    batch (incremental rows get none, aprilsam.c inc path adds no damping)."""
+    from aprilsam_tpu.factors import eval_xyt, eval_xytpos, gn_blocks_xyt
+    import jax.numpy as jnp
+
+    sym = solver.sym
+    n = g.nnodes
+    A = np.zeros((3 * n, 3 * n))
+    lp = jnp.asarray(g.l_point[:n])
+    st = jnp.asarray(g.state[:n])
+    pos = np.asarray(sym.pos)
+
+    for f in range(g.nfactors):
+        a, b = (int(v) for v in g.fnodes[f])
+        if b >= 0:
+            ev = eval_xyt(lp, jnp.asarray([a]), jnp.asarray([b]),
+                          jnp.asarray(g.fz[f][None]), jnp.asarray(g.fW[f][None]))
+            Haa, Hab, Hba, Hbb, ga, gb = gn_blocks_xyt(ev, jnp.asarray(g.fW[f][None]))
+            pa, pb = 3 * pos[a], 3 * pos[b]
+            A[pa:pa+3, pa:pa+3] += np.asarray(Haa[0])
+            A[pa:pa+3, pb:pb+3] += np.asarray(Hab[0])
+            A[pb:pb+3, pa:pa+3] += np.asarray(Hba[0])
+            A[pb:pb+3, pb:pb+3] += np.asarray(Hbb[0])
+        else:
+            pa = 3 * pos[a]
+            A[pa:pa+3, pa:pa+3] += g.fW[f]
+    U = np.triu(A)
+    A = U + np.triu(A, 1).T
+    for i in tikhonov_nodes:
+        p = 3 * pos[i]
+        A[p:p+3, p:p+3] += 1e-4 * np.eye(3)
+    return A
+
+
+def chain_graph(n, y_noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    g = FactorGraph()
+    for i in range(n):
+        p = [float(i), y_noise * rng.standard_normal(), 0.0]
+        g.add_node(p, init=p)
+    g.add_factor_xytpos(0, [0, 0, 0], np.diag([1e4, 1e4, 1e3]))
+    for i in range(n - 1):
+        z = np_xyt_inv_mul(g.init[i], g.init[i + 1])
+        g.add_factor_xyt(i, i + 1, z, W_ODO)
+    return g
+
+
+def test_incremental_factor_matches_normal_equations():
+    """After incremental steps, R^T R must equal the normal equations
+    assembled at the (unchanged) linearization points plus the new factor
+    blocks — the frontal update is algebraically exact."""
+    g = chain_graph(6)
+    s = IncrementalSolver(small_cfg(nthreshold=10**9))
+    s.solve(g)
+    batch_nodes = list(range(6))
+    R, RtR = dense_R_and_A(s)
+    A = expected_A(g, s, batch_nodes)
+    np.testing.assert_allclose(RtR, A, atol=1e-8)
+
+    # add two more poses incrementally (one factor each)
+    for k in (6, 7):
+        z = np.array([1.0, 0.0, 0.0])
+        st = np.asarray(s.ds.state[k - 1])
+        from aprilsam_tpu.geometry import np_xyt_mul
+
+        seeded = np_xyt_mul(st, z)
+        g.add_node(seeded, init=seeded)
+        g.l_point[k] = seeded
+        g.add_factor_xyt(k - 1, k, z, W_ODO)
+        info = s.update(g)
+        assert s.last_path in ("fast", "full")
+        assert info.spd
+
+    # l_points on device are authoritative; copy them into g for assembly
+    g.l_point[: g.nnodes] = np.asarray(s.ds.l_point[: g.nnodes])
+    R, RtR = dense_R_and_A(s)
+    A = expected_A(g, s, batch_nodes)
+    np.testing.assert_allclose(RtR, A, atol=1e-7)
+
+
+def test_incremental_loop_closure_full_path_solution():
+    """Force the full path with a loop closure; the resulting states must
+    solve the accumulated normal equations exactly: dx = A^-1 b with b the
+    gradient accumulated at factor-add time."""
+    n = 20
+    g = chain_graph(n)
+    cfg = small_cfg(nthreshold=10**9, small_path_max=0)  # force full path
+    s = IncrementalSolver(cfg)
+    s.solve(g)
+
+    # loop closure between node 2 and node 19 claiming an offset
+    z = np.array([0.5, 0.3, 0.05])
+    g.add_factor_xyt(2, n - 1, z, W_ODO)
+    info = s.update(g)
+    assert s.last_path == "full"
+
+    # expected: x = A'^-1 b' where b' = B_batch + g_new (evaluated at
+    # l_points), states = l_point + x
+    g.l_point[: g.nnodes] = np.asarray(s.ds.l_point[: g.nnodes])
+    A = expected_A(g, s, list(range(n)))
+
+    from aprilsam_tpu.factors import eval_xyt, eval_xytpos, gn_blocks_xyt
+    import jax.numpy as jnp
+
+    sym = s.sym
+    pos = np.asarray(sym.pos)
+    lp = jnp.asarray(g.l_point[:n])
+    b = np.zeros(3 * n)
+    for f in range(g.nfactors):
+        a, bb = (int(v) for v in g.fnodes[f])
+        if bb >= 0:
+            ev = eval_xyt(lp, jnp.asarray([a]), jnp.asarray([bb]),
+                          jnp.asarray(g.fz[f][None]), jnp.asarray(g.fW[f][None]))
+            _, _, _, _, ga, gb = gn_blocks_xyt(ev, jnp.asarray(g.fW[f][None]))
+            b[3*pos[a]:3*pos[a]+3] += np.asarray(ga[0])
+            b[3*pos[bb]:3*pos[bb]+3] += np.asarray(gb[0])
+        else:
+            r = g.fz[f] - g.state[a]  # states == l_points here (chi2 was 0)
+            b[3*pos[a]:3*pos[a]+3] += g.fW[f] @ r
+
+    x = np.linalg.solve(A, b)
+    exp_state = np.zeros((n, 3))
+    for i in range(n):
+        exp_state[i] = g.l_point[i] + x[3*pos[i]:3*pos[i]+3]
+    got = np.asarray(s.ds.state[:n])
+    np.testing.assert_allclose(got[:, :2], exp_state[:, :2], atol=1e-7)
+
+
+def test_tutorial_incremental_replay():
+    """Tutorial dogleg with the real incremental path (wall-clock gate off):
+    chi2 == 0 through step 5, == 7.805041 at the loop closure."""
+    cfg = small_cfg(nthreshold=100)
+    s = IncrementalSolver(cfg)
+    g = FactorGraph()
+    g.add_node([0, 0, 0], init=[0, 0, 0])
+    g.add_factor_xytpos(0, [0, 0, 0], np.diag([1e4, 1e4, 1e3]))
+    info = s.solve(g)
+    assert info.chi2 < 1e-9
+
+    W = np.diag([1 / 0.1**2, 1 / 0.1**2, 1 / np.radians(1.0) ** 2])
+    for i in range(1, 6):
+        g.add_node([i, 0, 0], init=[i, 0, 0])
+        z = np_xyt_inv_mul(g.init[i - 1], g.init[i])
+        g.add_factor_xyt(i - 1, i, z, W)
+        if i == 5:
+            z2 = np_xyt_inv_mul(np.array([0.0, 0, 0]), np.array([5.0, 1, 0]))
+            g.add_factor_xyt(0, 5, z2, W)
+        info = s.update(g)
+    assert abs(info.chi2 - 7.805041) < 1e-4
+    ys = np.asarray(s.ds.state[:6, 1])
+    np.testing.assert_allclose(
+        ys, [0.0, 0.156098, 0.323291, 0.496825, 0.671944, 0.843894], atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_m3500_incremental_replay_prefix(m3500):
+    """Incremental replay of the first K poses vs the deterministic
+    (wall-clock gate disabled) C reference golden.
+
+    Per-step values track the reference closely early on; they drift where
+    the update-coverage policy depends on the elimination tree (our
+    fill-reducing ordering differs from the reference's heap heuristic,
+    aprilsam.c:1020-1035), and re-converge at batch fallbacks.  The
+    assertion bounds the drift envelope; exact-final parity is asserted by
+    the full-replay benchmark."""
+    golden = np.loadtxt("tests/golden/m3500_inc_nogate_chi2.txt")
+    K = 60
+    cfg = small_cfg()
+    rep = Replay(m3500, cfg, batch_update_only=False)
+    res = rep.run(max_steps=K)
+    ours = np.array([r.chi2 for r in res])
+    assert ours.shape[0] == K
+    # early prefix: tight tracking
+    np.testing.assert_allclose(ours[:50], golden[:50], atol=2e-3)
+    # no divergence over the window
+    assert np.all(ours < golden[:K] + 1.0)
