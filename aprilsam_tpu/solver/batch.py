@@ -47,7 +47,8 @@ def _ext_bucket(k: int) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("MB", "KEXT"), donate_argnames=("ds",))
+@partial(jax.jit, static_argnames=("MB", "KEXT", "gn_iters"),
+         donate_argnames=("ds",))
 def _batch_step(
     ds: DeviceState,
     pos_new,        # [NCAP] int32 node id -> position (fresh ordering)
@@ -61,49 +62,64 @@ def _batch_step(
     tikhonov,
     MB: int,
     KEXT: int,
+    gn_iters: int,
 ):
     NCAP = ds.state.shape[0]
     dtype = ds.R_blocks.dtype
     FCAP = ds.xyt_a.shape[0]
     FPOS = ds.pos_node.shape[0]
 
-    # relinearize all nodes: l_point <- state (aprilsam.c:131-135)
-    l_point = ds.state
-
     xyt_valid = jnp.arange(FCAP, dtype=jnp.int32) < ds.n_xyt
     pos_valid = jnp.arange(FPOS, dtype=jnp.int32) < ds.n_pos
-
-    A, B = assemble_block_dense(
-        l_point, ds.state, pos_new,
-        jnp.where(xyt_valid, ds.xyt_a, 0), jnp.where(xyt_valid, ds.xyt_b, 0),
-        ds.xyt_z, ds.xyt_W, xyt_valid,
-        jnp.where(pos_valid, ds.pos_node, 0), ds.pos_z, ds.pos_W, pos_valid,
-        MB=MB,
-        tikhonov=tikhonov,
-        dtype=dtype,
-    )
-
-    L = jnp.linalg.cholesky(A)
-    # y: forward solve L y = B; x: back solve L^T x = y (smatd_chol_solve_full,
-    # smatd.c:1100-1114)
-    y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-
-    # scatter dx to node space and update: state = l_point + dx, wrap theta,
-    # NaN guard (xyt_node_update, april_graph_xyt.c:302-314)
     node_ids = jnp.arange(NCAP, dtype=jnp.int32)
     valid_node = node_ids < ds.nnodes
     p_of_node = jnp.where(valid_node, pos_new, 0)
-    dxb = x.reshape(MB, 3)
-    dx_node = jnp.where(valid_node[:, None], dxb[jnp.clip(p_of_node, 0, MB - 1)], 0.0)
-    ok = valid_node & ~jnp.any(jnp.isnan(dx_node), axis=1)
+
     from ..geometry import mod2pi
 
-    new_state = jnp.where(ok[:, None], l_point + dx_node, ds.state)
-    new_state = new_state.at[:, 2].set(
-        jnp.where(ok, mod2pi(new_state[:, 2]), new_state[:, 2])
-    )
-    new_delta = jnp.where(ok[:, None], dx_node, ds.delta_X)
+    state = ds.state
+    # gn_iters > 1 re-relinearizes and re-solves: in float32 the extra
+    # Gauss-Newton iteration recovers what the reduced-precision linear
+    # solve loses (GN is self-correcting); float64 runs use 1 iteration for
+    # exact one-step parity with the reference.
+    for it in range(gn_iters):
+        # relinearize all nodes: l_point <- state (aprilsam.c:131-135)
+        l_point = state
+
+        A, B = assemble_block_dense(
+            l_point, state, pos_new,
+            jnp.where(xyt_valid, ds.xyt_a, 0), jnp.where(xyt_valid, ds.xyt_b, 0),
+            ds.xyt_z, ds.xyt_W, xyt_valid,
+            jnp.where(pos_valid, ds.pos_node, 0), ds.pos_z, ds.pos_W, pos_valid,
+            MB=MB,
+            tikhonov=tikhonov,
+            dtype=dtype,
+        )
+
+        # Jacobi equilibration: factor D^-1/2 A D^-1/2 (unit diagonal) for
+        # float32 robustness, then unscale so the stored factor satisfies
+        # L L^T = A exactly
+        dvec = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(A), 1e-30))
+        As = A * dvec[:, None] * dvec[None, :]
+        Ls = jnp.linalg.cholesky(As)
+        L = Ls * (1.0 / dvec)[:, None]
+        # y: forward solve L y = B; x: back solve L^T x = y
+        # (smatd_chol_solve_full, smatd.c:1100-1114)
+        y = jax.scipy.linalg.solve_triangular(Ls, dvec * B, lower=True)
+        x = dvec * jax.scipy.linalg.solve_triangular(Ls.T, y, lower=False)
+
+        # scatter dx to node space and update: state = l_point + dx, wrap
+        # theta, NaN guard (xyt_node_update, april_graph_xyt.c:302-314)
+        dxb = x.reshape(MB, 3)
+        dx_node = jnp.where(
+            valid_node[:, None], dxb[jnp.clip(p_of_node, 0, MB - 1)], 0.0)
+        ok = valid_node & ~jnp.any(jnp.isnan(dx_node), axis=1)
+        new_state = jnp.where(ok[:, None], l_point + dx_node, state)
+        new_state = new_state.at[:, 2].set(
+            jnp.where(ok, mod2pi(new_state[:, 2]), new_state[:, 2])
+        )
+        state = new_state
+        new_delta = jnp.where(ok[:, None], dx_node, ds.delta_X)
 
     # extract block-sparse R rows on the symbolic pattern: R[p, slot] =
     # L[c-block, p-block]^T (the reference copies CSparse L columns into smatd
@@ -128,7 +144,7 @@ def _batch_step(
         R_idx=R_idx_new,
         R_nnz=R_nnz_new,
         y=y_full,
-        state=new_state,
+        state=state,
         l_point=l_point,
         delta_X=new_delta,
         relinearized=jnp.zeros_like(ds.relinearized),
@@ -208,6 +224,7 @@ def run_batch_epoch(
         jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
         MB=MB,
         KEXT=KEXT,
+        gn_iters=cfg.effective_gn_iters,
     )
     return ds, sym, BatchInfo(chi2=float(chi2), spd=bool(spd), n=nnodes)
 

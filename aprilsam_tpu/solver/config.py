@@ -35,6 +35,10 @@ class SolverConfig:
 
     # --- numerics ---
     dtype: np.dtype = np.float64   # float32 on TPU for speed, float64 for parity tests
+    # Gauss-Newton iterations per batch epoch.  None => 1 in float64 (exact
+    # one-step parity with the reference) and 2 in float32 (the second
+    # iteration recovers the precision the float32 linear solve loses).
+    gn_iters: int = None
     check_spd: bool = True         # trigger batch fallback on non-SPD frontal
                                    # (fixes the reference's ignored is_spd flag,
                                    # smatd.c:669-699)
@@ -52,3 +56,9 @@ class SolverConfig:
     @property
     def jnp_dtype(self):
         return np.dtype(self.dtype)
+
+    @property
+    def effective_gn_iters(self) -> int:
+        if self.gn_iters is not None:
+            return self.gn_iters
+        return 1 if np.dtype(self.dtype) == np.float64 else 2

@@ -50,7 +50,6 @@ import numpy as np
 
 from ..geometry import mod2pi
 from ..graph import FactorGraph, FACTOR_XYT, FACTOR_XYTPOS
-from ..kernels.assembly import upper_mirror
 from ..factors import eval_xyt, eval_xytpos, gn_blocks_xyt
 from .batch import BatchInfo, run_batch_epoch
 from .config import SolverConfig
@@ -92,6 +91,7 @@ class StepPlan:
     np_W: np.ndarray
     n_new_pos: int
     MAXFR: int
+    fringe_overflow: bool
     fringe_pos: np.ndarray      # [MAXFR]
     fringe_node: np.ndarray     # [MAXFR]
     fringe_fc: np.ndarray       # [MAXFR, BCAP] frontal col slots of fringe rows
@@ -170,9 +170,13 @@ def plan_step(
 
     # 5. fringe (children of F outside F, NEW tree)
     fringe = sym_mod.fringe_of(sym, F)
-    MAXFR = _bucket(len(fringe), (32, 128, 512, 2048))
-    if MAXFR is None:
-        return None
+    MAXFR = _bucket(len(fringe), (32, 128))
+    fringe_overflow = MAXFR is None
+    if fringe_overflow:
+        # extremely rare: take the full path instead of compiling huge
+        # fringe buckets (documented policy deviation)
+        fringe = fringe[:0]
+        MAXFR = 32
     fr_rows, _ = _padded_rows(sym.patterns, fringe, BCAP, NCAP)
     fringe_fc = np.where(fr_rows < NCAP, pos2f[fr_rows], -1).astype(np.int32)
 
@@ -240,6 +244,7 @@ def plan_step(
         if np_W else np.zeros((KNEW, 3, 3)),
         n_new_pos=len(np_n),
         MAXFR=MAXFR,
+        fringe_overflow=fringe_overflow,
         fringe_pos=pad1(fringe, MAXFR, NCAP),
         fringe_node=pad1(sym.order[fringe] if len(fringe) else [], MAXFR, 0),
         fringe_fc=pad2(fringe_fc, MAXFR, -1),
@@ -258,7 +263,7 @@ def _frontal_update(ds: DeviceState, MAXAFF: int, F_pos, F_node, gather_fc,
                     np_slot, np_node, np_z, np_W, n_new_pos):
     """Dense frontal reconstruct + scatter-add + refactor + forward solve.
 
-    Returns (ds', L_F lower [3M,3M], x-ready y_F' [3M], valid masks, spd).
+    Returns (ds', R' upper [3M,3M], y' [3M], valid masks, spd).
     """
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
@@ -281,55 +286,71 @@ def _frontal_update(ds: DeviceState, MAXAFF: int, F_pos, F_node, gather_fc,
     RF = RF[:, :M]                                           # [M, M, 3, 3]
     R_dense = RF.transpose(0, 2, 1, 3).reshape(K3, K3)
 
-    # ---- reconstruct: S = R_F^T R_F  (aprilsam.c:791-848 in closed form)
-    S = R_dense.T @ R_dense
+    # identity on padded diagonal slots keeps the stacked system regular
+    R_dense = R_dense + jnp.where(scalar_valid, 0.0, 1.0) * jnp.eye(
+        K3, dtype=dtype)
 
-    # ---- y reconstruct: B'_F = R_F^T y_F
+    # ---- y gather
     yscal = (3 * jnp.clip(F_pos, 0, NCAP - 1)[:, None]
              + jnp.arange(3)[None, :]).reshape(-1)           # [3M]
     y_F = jnp.where(scalar_valid, ds.y[yscal], 0.0)
-    Bp = R_dense.T @ y_F
 
-    # ---- new factor contributions (aprilsam.c:508-542)
-    D = jnp.zeros((M + 1, M + 1, 3, 3), dtype=dtype)
-    gvec = jnp.zeros((M + 1, 3), dtype=dtype)
+    # ---- new measurement rows (aprilsam.c:508-542, but as stacked
+    # square-root rows instead of J^T W J block sums: the frontal update is
+    # a QR factor update  qr([R_F; W^{1/2} J]) — algebraically identical
+    # (R'^T R' = R_F^T R_F + J^T W J) but backward stable in float32,
+    # whereas forming R^T R squares the condition number)
     KNEW = nf_a.shape[0]
     nf_valid = jnp.arange(KNEW, dtype=jnp.int32) < n_new_xyt
     ev = eval_xyt(ds.l_point, jnp.clip(nf_a, 0, NCAP - 1),
                   jnp.clip(nf_b, 0, NCAP - 1), nf_z.astype(dtype),
                   nf_W.astype(dtype))
-    Haa, Hab, Hba, Hbb, ga, gb = gn_blocks_xyt(ev, nf_W.astype(dtype))
-    sa = jnp.where(nf_valid, nf_a_slot, M)
-    sb = jnp.where(nf_valid, nf_b_slot, M)
-    D = D.at[sa, sa].add(Haa)
-    D = D.at[sa, sb].add(Hab)
-    D = D.at[sb, sa].add(Hba)
-    D = D.at[sb, sb].add(Hbb)
-    gvec = gvec.at[sa].add(ga)
-    gvec = gvec.at[sb].add(gb)
-
     npv = jnp.arange(KNEW, dtype=jnp.int32) < n_new_pos
     evp = eval_xytpos(ds.state, jnp.clip(np_node, 0, NCAP - 1),
                       np_z.astype(dtype), np_W.astype(dtype))
-    gp = jnp.einsum("fij,fj->fi", np_W.astype(dtype), evp.r)
+
+    def w_sqrt(W):
+        # symmetric square root via eigh (robust to singular priors); W is
+        # used in its upper-mirrored symmetric form — identical to the
+        # reference for every symmetric/diagonal W it ships with
+        Ws = jnp.triu(W) + jnp.triu(W, 1).transpose(0, 2, 1)
+        lam, V = jnp.linalg.eigh(Ws)
+        lam = jnp.sqrt(jnp.maximum(lam, 0.0))
+        return jnp.einsum("fik,fk,fjk->fij", V, lam, V)
+
+    Wh_xyt = w_sqrt(nf_W.astype(dtype)) * nf_valid[:, None, None]
+    Wh_pos = w_sqrt(np_W.astype(dtype)) * npv[:, None, None]
+
+    sa = jnp.where(nf_valid, nf_a_slot, M)
+    sb = jnp.where(nf_valid, nf_b_slot, M)
     sp = jnp.where(npv, np_slot, M)
-    D = D.at[sp, sp].add(np_W.astype(dtype))
-    gvec = gvec.at[sp].add(gp)
 
-    Dd = D[:M, :M].transpose(0, 2, 1, 3).reshape(K3, K3)
-    S = S + upper_mirror(Dd)   # reference upper-triangle rule
-    Bp = Bp + gvec[:M].reshape(K3)
+    # xyt rows: W^{1/2} [Ja at col sa | Jb at col sb], rhs W^{1/2} r
+    Jrow = jnp.zeros((KNEW, 3, M + 1, 3), dtype=dtype)
+    Jrow = Jrow.at[jnp.arange(KNEW), :, sa, :].add(
+        jnp.einsum("fik,fkj->fij", Wh_xyt, ev.Ja))
+    Jrow = Jrow.at[jnp.arange(KNEW), :, sb, :].add(
+        jnp.einsum("fik,fkj->fij", Wh_xyt, ev.Jb))
+    xyt_rows = Jrow[:, :, :M, :].reshape(KNEW * 3, K3)
+    xyt_rhs = jnp.einsum("fik,fk->fi", Wh_xyt, ev.r).reshape(KNEW * 3)
 
-    # pad diagonal outside the valid 3m x 3m so chol succeeds
-    S = S + jnp.where(scalar_valid, 0.0, 1.0) * jnp.eye(K3, dtype=dtype)
+    Prow = jnp.zeros((KNEW, 3, M + 1, 3), dtype=dtype)
+    Prow = Prow.at[jnp.arange(KNEW), :, sp, :].add(Wh_pos)
+    pos_rows = Prow[:, :, :M, :].reshape(KNEW * 3, K3)
+    pos_rhs = jnp.einsum("fik,fk->fi", Wh_pos, evp.r).reshape(KNEW * 3)
 
-    # ---- refactor (aprilsam.c:850-906 in closed form)
-    L_F = jnp.linalg.cholesky(S)
-    diag = jnp.diagonal(L_F)
+    C = jnp.concatenate([R_dense, xyt_rows, pos_rows], axis=0)
+    d_stack = jnp.concatenate([y_F, xyt_rhs, pos_rhs], axis=0)
+
+    # ---- refactor: thin QR (aprilsam.c:850-906, square-root form)
+    Q, Rq = jnp.linalg.qr(C, mode="reduced")
+    sgn = jnp.where(jnp.diagonal(Rq) < 0, -1.0, 1.0).astype(dtype)
+    R_up = sgn[:, None] * Rq
+    diag = jnp.diagonal(R_up)
     spd = jnp.all(jnp.where(scalar_valid, jnp.isfinite(diag) & (diag > 0), True))
 
-    # ---- gated forward solve on y (aprilsam.c:702-719)
-    y_new = jax.scipy.linalg.solve_triangular(L_F, Bp, lower=True)
+    # ---- gated forward solve on y (aprilsam.c:702-719): y' = Q^T d
+    y_new = sgn * (Q.T @ d_stack)
 
     # scatter y back (valid rows only)
     y_out = ds.y.at[jnp.where(scalar_valid, yscal, NCAP * 3)].set(
@@ -337,7 +358,7 @@ def _frontal_update(ds: DeviceState, MAXAFF: int, F_pos, F_node, gather_fc,
     )
 
     # ---- scatter R_F' back on the NEW pattern
-    Rt = L_F.T.reshape(M, 3, M, 3).transpose(0, 2, 1, 3)     # [Mrow, Mcol, 3, 3]
+    Rt = R_up.reshape(M, 3, M, 3).transpose(0, 2, 1, 3)      # [Mrow, Mcol, 3, 3]
     sc_ok = scat_fc >= 0
     sc_safe = jnp.clip(scat_fc, 0, M - 1)
     newblocks = Rt[r_ids, sc_safe]                           # [M, BCAP, 3, 3]
@@ -351,7 +372,7 @@ def _frontal_update(ds: DeviceState, MAXAFF: int, F_pos, F_node, gather_fc,
     R_nnz = ds.R_nnz.at[dest_rows].set(new_Rnnz, mode="drop")
 
     ds = ds._replace(R_blocks=R_blocks, R_idx=R_idx, R_nnz=R_nnz, y=y_out)
-    return ds, L_F, y_new, row_valid, scalar_valid, spd
+    return ds, R_up, y_new, row_valid, scalar_valid, spd
 
 
 @partial(jax.jit, static_argnames=("MAXAFF", "MAXFR"),
@@ -372,13 +393,13 @@ def inc_step_fast(
     dtype = ds.R_blocks.dtype
     M = MAXAFF
 
-    ds, L_F, y_new, row_valid, scalar_valid, spd = _frontal_update(
+    ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_update(
         ds, MAXAFF, F_pos, F_node, gather_fc, scat_fc, new_Ridx, new_Rnnz, m,
         nf_a_slot, nf_b_slot, nf_a, nf_b, nf_z, nf_W, n_new_xyt,
         np_slot, np_node, np_z, np_W, n_new_pos)
 
     # back-substitution restricted to F (exact: F is ancestor-closed)
-    x_F = jax.scipy.linalg.solve_triangular(L_F.T, y_new, lower=False)
+    x_F = jax.scipy.linalg.solve_triangular(R_up, y_new, lower=False)
     dxF = x_F.reshape(M, 3)
 
     # fringe: children of F — compute x, delta_X and relinearization only
@@ -455,7 +476,7 @@ def inc_step_full(
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
 
-    ds, L_F, y_new, row_valid, scalar_valid, spd = _frontal_update(
+    ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_update(
         ds, MAXAFF, F_pos, F_node, gather_fc, scat_fc, new_Ridx, new_Rnnz, m,
         nf_a_slot, nf_b_slot, nf_a, nf_b, nf_z, nf_W, n_new_xyt,
         np_slot, np_node, np_z, np_W, n_new_pos)
@@ -551,11 +572,34 @@ class IncrementalSolver:
         self._ingested_nodes = g.nnodes
         self._ingested_factors = g.nfactors
 
+    def _grow_row_capacity(self):
+        """Re-shape the R storage for a larger per-row block capacity (fill
+        outgrew the static headroom; recompile-once event)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            self.cfg,
+            row_block_capacity=int(self.cfg.row_block_capacity * 3 // 2),
+        )
+        NCAP, BCAP = cfg.node_capacity, cfg.row_block_capacity
+        dt = self.ds.R_blocks.dtype
+        self.ds = self.ds._replace(
+            R_blocks=jnp.zeros((NCAP, BCAP, 3, 3), dtype=dt),
+            R_idx=jnp.full((NCAP, BCAP), NCAP, dtype=jnp.int32),
+            R_nnz=jnp.zeros((NCAP,), dtype=jnp.int32),
+        )
+        self.cfg = cfg
+
     def _run_batch(self, g: FactorGraph, record_time: bool = False) -> BatchInfo:
         t0 = time.perf_counter()
-        self.ds, self.sym, info = run_batch_epoch(
-            self.ds, self.cfg, g.nnodes,
-            g.ftype[: g.nfactors], g.fnodes[: g.nfactors])
+        while True:
+            try:
+                self.ds, self.sym, info = run_batch_epoch(
+                    self.ds, self.cfg, g.nnodes,
+                    g.ftype[: g.nfactors], g.fnodes[: g.nfactors])
+                break
+            except OverflowError:
+                self._grow_row_capacity()
         jax.block_until_ready(self.ds.state)
         if record_time:
             # param->batch_time is recorded only when a batch is triggered
@@ -586,8 +630,13 @@ class IncrementalSolver:
 
         t0 = time.perf_counter()
         self._ingest(g)
-        plan = plan_step(self.sym, self.cfg, g, self.factor_num, g.nfactors,
-                         self.node_num)
+        try:
+            plan = plan_step(self.sym, self.cfg, g, self.factor_num,
+                             g.nfactors, self.node_num)
+        except OverflowError:
+            # incremental fill outgrew row_block_capacity: a fresh batch
+            # epoch (new ordering) shrinks the fill again
+            plan = None
         self.factor_num = g.nfactors
         self.node_num = g.nnodes
 
@@ -620,7 +669,7 @@ class IncrementalSolver:
             delta_theta=jnp.asarray(self.cfg.delta_theta, dtype=dt),
         )
 
-        if plan.naffected <= self.cfg.small_path_max:
+        if plan.naffected <= self.cfg.small_path_max and not plan.fringe_overflow:
             self.last_path = "fast"
             self.ds, chi2, spd = inc_step_fast(
                 self.ds,

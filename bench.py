@@ -1,0 +1,69 @@
+"""Benchmark harness: full M3500 incremental replay on the available device.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline (BASELINE.md): the C reference replays M3500 incrementally at a
+1.41 ms mean step => ~711 poses/s on one x86 core, final chi2 ~68.96-69.91.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_POSES_PER_SEC = 711.0
+CHI2_BAND = (60.0, 80.0)  # sanity band around the reference optimum ~69
+
+
+def main() -> int:
+    import jax
+
+    platform = jax.devices()[0].platform
+    use_x64 = platform == "cpu"
+    if use_x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from aprilsam_tpu.io import load_g2o_text
+    from aprilsam_tpu.replay import Replay
+    from aprilsam_tpu.solver import SolverConfig
+
+    loaded = load_g2o_text("/root/reference/data/M3500.txt")
+
+    cfg = SolverConfig(
+        dtype=np.float64 if use_x64 else np.float32,
+        node_capacity=4096,
+        factor_capacity=8192,
+        row_block_capacity=96,
+        panel_nodes=128,
+    )
+
+    # warmup pass compiles every (bucket) specialization on a short prefix
+    warm = Replay(loaded, cfg, batch_update_only=False)
+    warm.run(max_steps=40)
+
+    rep = Replay(loaded, cfg, batch_update_only=False)
+    t0 = time.perf_counter()
+    res = rep.run()
+    total_s = time.perf_counter() - t0
+
+    n = len(res)
+    final_chi2 = res[-1].chi2
+    poses_per_sec = n / total_s
+    ok = CHI2_BAND[0] <= final_chi2 <= CHI2_BAND[1]
+
+    print(json.dumps({
+        "metric": "m3500_incremental_replay_poses_per_sec"
+        + ("" if ok else "_CHI2_PARITY_FAIL"),
+        "value": round(poses_per_sec, 2),
+        "unit": f"poses/s (final_chi2={final_chi2:.3f}, platform={platform})",
+        "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
