@@ -11,12 +11,22 @@ Given a fully loaded dataset graph, replays it one pose at a time:
     odometry measurement and relinearize it (aprilsam_demo.c:180-191);
   * optimize: incremental from step 1 on (batch when --batch_update_only),
     then report chi2 and timing (aprilsam_demo.c:224-232).
+
+Two execution modes:
+  * synchronous (default): per-step chi2 fetched from the device; matches
+    the reference's step-by-step printing.
+  * deferred: no per-step host/device sync at all — odometry seeding runs on
+    device inside the step, chi2 accumulates in the device-side ring, and
+    batch-fallback policy reads stats with cfg.policy_lag.  This is the
+    benchmark mode: throughput is bounded by device compute, not by the
+    host round-trip.
 """
 
 from __future__ import annotations
 
+import math
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np
@@ -24,6 +34,7 @@ import numpy as np
 from .graph import FactorGraph, FACTOR_XYT
 from .geometry import np_xyt_inv, np_xyt_mul
 from .solver import BatchSolver, SolverConfig
+from .solver.incremental import IncrementalSolver, SeedSpec
 
 GEOPIN_W = np.diag([10000.0, 10000.0, 1000.0])
 
@@ -42,10 +53,12 @@ class Replay:
         loaded: FactorGraph,
         cfg: Optional[SolverConfig] = None,
         batch_update_only: bool = False,
+        deferred: bool = False,
     ):
         self.loaded = loaded
         self.cfg = cfg or SolverConfig()
         self.batch_update_only = batch_update_only
+        self.deferred = deferred and not batch_update_only
         self.graph = FactorGraph()
         self.event_idx = 0
         self.total_ms = 0.0
@@ -65,8 +78,6 @@ class Replay:
         if batch_update_only:
             self.solver = BatchSolver(self.cfg)
         else:
-            from .solver.incremental import IncrementalSolver
-
             self.solver = IncrementalSolver(self.cfg)
 
     # ------------------------------------------------------------------
@@ -80,11 +91,12 @@ class Replay:
         a, b = self.loaded.fnodes[f]
         return "odom" if abs(int(a) - int(b)) == 1 else "scan"
 
-    def _add_pose(self) -> bool:
-        """Add the next pose + its factors.  Returns False when exhausted."""
+    def _add_pose(self):
+        """Add the next pose + its factors.  Returns the step's odometry seed
+        specs, or None when the dataset is exhausted."""
         k = self.event_idx
         if k >= self.loaded.nnodes:
-            return False
+            return None
         g = self.graph
         init = self.loaded.init[k]
         truth = self.loaded.truth[k] if self.loaded.has_truth[k] else None
@@ -93,38 +105,54 @@ class Replay:
         if k == 0:
             g.add_factor_xytpos(0, np.zeros(3), GEOPIN_W)
             self.event_idx += 1
-            return True
+            return []
 
+        seeds: List[SeedSpec] = []
         for f in self._factors_by_max[k]:
             a, b = (int(v) for v in self.loaded.fnodes[f])
             z = self.loaded.fz[f].copy()
             W = self.loaded.fW[f].copy()
-            tag = self._factor_tag(f)
-            if tag == "odom":
+            if self._factor_tag(f) == "odom":
                 # seed the new endpoint by odometry composition
                 # (aprilsam_demo.c:180-191)
                 if a < b:
-                    g.state[b] = np_xyt_mul(g.state[a], z)
-                    g.l_point[b] = g.state[b]
+                    seeds.append(SeedSpec(src=a, dst=b, z=z, invert=False))
                 else:
-                    g.state[a] = np_xyt_mul(g.state[b], np_xyt_inv(z))
-                    g.l_point[a] = g.state[a]
+                    seeds.append(SeedSpec(src=b, dst=a, z=z, invert=True))
             g.add_factor_xyt(a, b, z, W)
         self.event_idx += 1
-        return True
+        return seeds
+
+    def _apply_seeds_host(self, seeds):
+        """Batch mode composes seeds on the host from synced states."""
+        g = self.graph
+        for s in seeds:
+            z = np_xyt_inv(s.z) if s.invert else s.z
+            g.state[s.dst] = np_xyt_mul(g.state[s.src], z)
+            g.l_point[s.dst] = g.state[s.dst]
 
     def step(self) -> Optional[StepResult]:
-        if not self._add_pose():
+        seeds = self._add_pose()
+        if seeds is None:
             return None
         t0 = time.perf_counter()
         if self.batch_update_only or self.event_idx <= 1:
-            self.solver.solve(self.graph)
+            if self.batch_update_only:
+                self._apply_seeds_host(seeds)
+                info = self.solver.solve(self.graph)
+            else:
+                # step 0 of incremental mode: batch (aprilsam_demo.c:224-228);
+                # no seeds exist yet
+                info = self.solver.solve(self.graph)
+            chi2 = info.chi2
         else:
-            self.solver.update(self.graph)
-        chi2 = self.solver.chi2()
+            info = self.solver.update(self.graph, seeds=seeds)
+            chi2 = info.chi2 if info is not None else math.nan
         ms = (time.perf_counter() - t0) * 1e3
         self.total_ms += ms
-        self.solver.sync_states(self.graph)
+        if not self.deferred:
+            if self.batch_update_only:
+                self.solver.sync_states(self.graph)
         res = StepResult(
             step=self.event_idx - 1, chi2=chi2, step_ms=ms, total_ms=self.total_ms
         )
@@ -145,4 +173,14 @@ class Replay:
                     f"Total running time: {res.total_ms:.3f} ms"
                 )
             n += 1
+        self.finish()
         return self.results
+
+    def finish(self):
+        """Flush pending policy stats and backfill deferred chi2 values."""
+        if isinstance(self.solver, IncrementalSolver):
+            self.solver.flush(self.graph)
+            hist = self.solver.chi2_history()
+            for r in self.results:
+                if math.isnan(r.chi2) and r.step < len(hist):
+                    r.chi2 = float(hist[r.step])

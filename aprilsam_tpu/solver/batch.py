@@ -60,6 +60,9 @@ def _batch_step(
     ext_c,          # [KEXT] int32 block-col positions
     ext_valid,      # [KEXT] bool
     tikhonov,
+    log_mode,       # int32: 0 append, 1 overwrite-last (sync fallback path
+                    # replaces the inc step's entry), 2 skip (lagged fallback
+                    # between replay steps)
     MB: int,
     KEXT: int,
     gn_iters: int,
@@ -153,6 +156,14 @@ def _batch_step(
         start_over=jnp.int32(0),
     )
     chi2 = state_chi2(ds)
+    LOG = ds.chi2_log.shape[0]
+    do_log = log_mode < 2
+    ptr = jnp.clip(ds.log_ptr - (log_mode == 1), 0, LOG - 1)
+    ds = ds._replace(
+        chi2_log=ds.chi2_log.at[jnp.where(do_log, ptr, LOG)].set(
+            chi2, mode="drop"),
+        log_ptr=jnp.where(do_log, ptr + 1, ds.log_ptr),
+    )
     return ds, chi2, spd
 
 
@@ -168,6 +179,7 @@ def run_batch_epoch(
     nnodes: int,
     ftypes: np.ndarray,
     fnodes: np.ndarray,
+    log_mode: int = 0,
 ) -> Tuple[DeviceState, SymbolicState, BatchInfo]:
     """Full batch epoch: host symbolic phase + device numeric step.
 
@@ -222,6 +234,7 @@ def run_batch_epoch(
         jnp.asarray(ext_c),
         jnp.asarray(ext_valid),
         jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
+        jnp.int32(log_mode),
         MB=MB,
         KEXT=KEXT,
         gn_iters=cfg.effective_gn_iters,

@@ -32,6 +32,11 @@ class SolverConfig:
     # Disable for deterministic runs (differential tests): the reference's
     # wall-clock gate makes the incremental trajectory machine-dependent.
     wallclock_gate: bool = True
+    # Steps by which batch-fallback policy decisions may lag (async stats
+    # readback).  0 = fully synchronous reference semantics; > 0 overlaps the
+    # host<->device round trip with compute (the wall-clock gate is then
+    # inactive, as there is no per-step device sync to time).
+    policy_lag: int = 0
 
     # --- numerics ---
     dtype: np.dtype = np.float64   # float32 on TPU for speed, float64 for parity tests

@@ -13,26 +13,35 @@ recast exploits two structural facts:
 Together these make the affected submatrix self-contained: every nonzero of
 every affected row lies in an affected column.  The whole
 reconstruct -> add -> refactor -> solve cycle therefore collapses into ONE
-dense frontal update on a padded [3m, 3m] tile:
+dense frontal operation on a padded tile: a thin QR of the stacked system
 
-      S      = R_F^T R_F + dA_new        (reconstruct + scatter-add)
-      R_F'   = chol(S)^T                 (partial refactorization)
-      y_F'   = R_F'^{-T} (R_F^T y_F + g) (gated forward solve)
+      qr([R_F ; W^{1/2} J_new])  ->  R_F',   y_F' = Q^T [y_F ; W^{1/2} r]
 
-followed by either
+which is algebraically R_F'^T R_F' = R_F^T R_F + J^T W J (reconstruct +
+scatter-add + refactor) but backward stable in float32 — forming the Gram
+matrix explicitly squares the condition number.
+
+The solve phase is either
   * fast path (naffected <= 5): x_F = R_F'^{-1} y_F', update only affected
     nodes + relinearization bookkeeping on their fringe — exactly the
     reference's pruned descent (solve_node always prunes at the first
     unchanged node because delta_X is overwritten before the delta-delta
     comparison, aprilsam.c:752-771); or
   * full path: a panel-blocked back-substitution over the whole block-sparse
-    R (lax.scan over 384-wide panels: sparse gather-matvec + dense
-    triangular solve per panel), updating every node (aprilsam.c:721-779
-    with naffected > 5 disables pruning).
+    R (lax.scan over panels: sparse gather-matvec + dense triangular solve),
+    updating every node (aprilsam.c:721-779; naffected > 5 disables pruning).
 
-Batch fallback policy is the reference's, replicated exactly: start_over
-counts nodes whose GN delta ever exceeded (delta_xy, delta_theta) since the
-last batch (aprilsam.c:741-751); a wall-clock gate forces INT_MAX when the
+Everything a step needs — new node ingestion, odometry seeding
+(aprilsam_demo.c:180-191), factor-table appends, the frontal update, the
+solve, chi2 — runs in ONE fused jit per (frontal-bucket, path) pair, with
+per-step host work reduced to symbolic planning plus four packed array
+uploads.  Per-step chi2 lands in a device-side ring (DeviceState.chi2_log) so
+replay never blocks on the device; policy counters are read back with a
+configurable lag (policy_lag) so round-trip latency overlaps compute.
+
+Batch fallback policy is the reference's: start_over counts nodes whose GN
+delta ever exceeded (delta_xy, delta_theta) since the last batch
+(aprilsam.c:741-751); a wall-clock gate forces INT_MAX when a (synchronous)
 step exceeds batch_time/3 (aprilsam.c:557-559); start_over > nthreshold
 triggers a full batch epoch that records batch_time (aprilsam.c:566-575).
 """
@@ -40,17 +49,18 @@ triggers a full batch epoch that records batch_time (aprilsam.c:566-575).
 from __future__ import annotations
 
 import time
+from collections import deque
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry import mod2pi
+from ..geometry import mod2pi, xyt_inv, xyt_mul
 from ..graph import FactorGraph, FACTOR_XYT, FACTOR_XYTPOS
-from ..factors import eval_xyt, eval_xytpos, gn_blocks_xyt
+from ..factors import eval_xyt, eval_xytpos
 from .batch import BatchInfo, run_batch_epoch
 from .config import SolverConfig
 from .ingest import ingest_graph
@@ -60,6 +70,20 @@ from .symbolic import SymbolicState
 
 INT_MAX = np.iinfo(np.int32).max
 
+KNODE = 4   # max new nodes per step
+KSEED = 4   # max odometry seedings per step
+
+
+@dataclass
+class SeedSpec:
+    """Odometry seeding of a new node's state: dst = src (+) z, or
+    dst = src (+) inv(z) when invert (aprilsam_demo.c:180-191)."""
+
+    src: int
+    dst: int
+    z: np.ndarray
+    invert: bool
+
 
 # ======================================================================
 # host step planning
@@ -67,35 +91,15 @@ INT_MAX = np.iinfo(np.int32).max
 
 @dataclass
 class StepPlan:
-    """Everything the device step needs, computed on host per step."""
-
-    m: int                      # |F|
-    naffected: int              # reference tr->naffected (marking walk count)
-    MAXAFF: int                 # frontal bucket (static)
-    F_pos: np.ndarray           # [MAXAFF] global positions (pad sentinel NCAP)
-    F_node: np.ndarray          # [MAXAFF] node ids (pad 0)
-    gather_fc: np.ndarray       # [MAXAFF, BCAP] frontal col slot of old slot
-    scat_fc: np.ndarray         # [MAXAFF, BCAP] frontal col slot of new slot
-    new_Ridx: np.ndarray        # [MAXAFF, BCAP] new column indices for F rows
-    new_Rnnz: np.ndarray        # [MAXAFF]
-    nf_a_slot: np.ndarray       # [KNEW] frontal slot of xyt endpoint a (-pad)
-    nf_b_slot: np.ndarray       # [KNEW]
-    nf_a: np.ndarray            # [KNEW] node ids
-    nf_b: np.ndarray
-    nf_z: np.ndarray            # [KNEW, 3]
-    nf_W: np.ndarray            # [KNEW, 3, 3]
-    n_new_xyt: int
-    np_slot: np.ndarray         # [KPOS] frontal slot of xytpos node
-    np_node: np.ndarray         # [KPOS]
-    np_z: np.ndarray
-    np_W: np.ndarray
-    n_new_pos: int
+    m: int
+    naffected: int
+    MAXAFF: int
     MAXFR: int
     fringe_overflow: bool
-    fringe_pos: np.ndarray      # [MAXFR]
-    fringe_node: np.ndarray     # [MAXFR]
-    fringe_fc: np.ndarray       # [MAXFR, BCAP] frontal col slots of fringe rows
-    n_fringe: int
+    ints: np.ndarray      # packed int32 vector
+    floats: np.ndarray    # packed float64 vector (cast on upload)
+    maps: np.ndarray      # [3, MAXAFF, BCAP] gather_fc / scat_fc / new_Ridx
+    fringe_fc: np.ndarray # [MAXFR, BCAP]
 
 
 def _bucket(n: int, buckets) -> Optional[int]:
@@ -118,6 +122,38 @@ def _padded_rows(patterns: List[np.ndarray], rows: np.ndarray, BCAP: int,
     return out, nnz
 
 
+def ints_layout(M: int, FR: int, K: int):
+    """Static offsets of the packed int vector."""
+    names = [
+        ("F_pos", M), ("F_node", M), ("new_Rnnz", M),
+        ("nf_a_slot", K), ("nf_b_slot", K), ("nf_a", K), ("nf_b", K),
+        ("np_slot", K), ("np_node", K),
+        ("fringe_pos", FR), ("fringe_node", FR),
+        ("node_ids", KNODE), ("seed_src", KSEED), ("seed_dst", KSEED),
+        ("seed_inv", KSEED),
+        ("scalars", 8),  # m, n_new_xyt, n_new_pos, n_fringe, n_nodes, n_seeds
+    ]
+    off = {}
+    o = 0
+    for name, sz in names:
+        off[name] = (o, o + sz)
+        o += sz
+    return off, o
+
+
+def floats_layout(K: int):
+    names = [
+        ("nf_z", K * 3), ("nf_W", K * 9), ("np_z", K * 3), ("np_W", K * 9),
+        ("node_states", KNODE * 3), ("seed_z", KSEED * 3),
+    ]
+    off = {}
+    o = 0
+    for name, sz in names:
+        off[name] = (o, o + sz)
+        o += sz
+    return off, o
+
+
 def plan_step(
     sym: SymbolicState,
     cfg: SolverConfig,
@@ -125,15 +161,19 @@ def plan_step(
     f0: int,
     f1: int,
     n_old: int,
+    seeds: Sequence[SeedSpec],
 ) -> Optional[StepPlan]:
     """Host symbolic work for one incremental step.  Returns None when the
     affected set exceeds the largest frontal bucket (caller falls back to a
-    batch epoch, the moral equivalent of the reference's wall-clock gate)."""
+    batch epoch)."""
     NCAP = cfg.node_capacity
     BCAP = cfg.row_block_capacity
+    K = cfg.new_factor_capacity
 
     # 1. extend ordering with new nodes (aprilsam.c:392-397)
     new_ids = list(range(n_old, g.nnodes))
+    if len(new_ids) > KNODE or len(seeds) > KSEED:
+        raise OverflowError("too many new nodes/seeds in one step")
     sym_mod.append_nodes(sym, new_ids)
 
     # 2. mark affected (walk to root with OLD parents; new nodes isolated)
@@ -145,7 +185,6 @@ def plan_step(
             touched.append(int(b))
     F = sym_mod.mark_affected(sym, touched)
     naffected = len(F)
-    # every new row must be (re)factored even if untouched
     new_pos = np.asarray([int(sym.pos[i]) for i in new_ids], dtype=np.int32)
     F = np.unique(np.concatenate([F, new_pos])) if len(new_pos) else F
     m = len(F)
@@ -160,7 +199,7 @@ def plan_step(
     old_rows, _ = _padded_rows(sym.patterns, F, BCAP, NCAP)
     gather_fc = np.where(old_rows < NCAP, pos2f[old_rows], -1).astype(np.int32)
 
-    # 4. symbolic update (pattern growth + new parents, the structural
+    # 4. symbolic update (pattern growth + new parents — the structural
     #    equivalent of search_tree_append, aprilsam.c:958-987)
     edges = [(int(g.fnodes[f][0]), int(g.fnodes[f][1])) for f in range(f0, f1)]
     sym_mod.update_patterns_incremental(sym, F, edges)
@@ -173,28 +212,32 @@ def plan_step(
     MAXFR = _bucket(len(fringe), (32, 128))
     fringe_overflow = MAXFR is None
     if fringe_overflow:
-        # extremely rare: take the full path instead of compiling huge
-        # fringe buckets (documented policy deviation)
         fringe = fringe[:0]
         MAXFR = 32
     fr_rows, _ = _padded_rows(sym.patterns, fringe, BCAP, NCAP)
-    fringe_fc = np.where(fr_rows < NCAP, pos2f[fr_rows], -1).astype(np.int32)
+    fringe_fc_small = np.where(fr_rows < NCAP, pos2f[fr_rows], -1).astype(np.int32)
 
-    # 6. pack padded plan arrays
-    def pad1(a, n, fill):
-        out = np.full(n, fill, dtype=np.int32)
-        out[: len(a)] = a
-        return out
+    # 6. pack
+    off_i, len_i = ints_layout(MAXAFF, MAXFR, K)
+    off_f, len_f = floats_layout(K)
+    ints = np.zeros(len_i, dtype=np.int32)
+    flts = np.zeros(len_f, dtype=np.float64)
 
-    def pad2(a, n, fill):
-        out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
-        out[: len(a)] = a
-        return out
+    def seti(name, arr, fill=0):
+        lo, hi = off_i[name]
+        seg = np.full(hi - lo, fill, dtype=np.int32)
+        seg[: len(arr)] = arr
+        ints[lo:hi] = seg
 
-    F_pos = pad1(F, MAXAFF, NCAP)
-    F_node = pad1(sym.order[F], MAXAFF, 0)
+    def setf(name, arr):
+        lo, hi = off_f[name]
+        a = np.asarray(arr, dtype=np.float64).reshape(-1)
+        flts[lo : lo + a.shape[0]] = a
 
-    # new factors split by type, endpoints to frontal slots
+    seti("F_pos", F, NCAP)
+    seti("F_node", sym.order[F])
+    seti("new_Rnnz", new_nnz)
+
     nf_a, nf_b, nf_z, nf_W = [], [], [], []
     np_n, np_z, np_W = [], [], []
     for f in range(f0, f1):
@@ -208,124 +251,182 @@ def plan_step(
             np_n.append(a)
             np_z.append(g.fz[f])
             np_W.append(g.fW[f])
-    KNEW = cfg.new_factor_capacity
-    if len(nf_a) > KNEW or len(np_n) > KNEW:
+    if len(nf_a) > K or len(np_n) > K:
         raise OverflowError("new_factor_capacity exceeded; raise it in config")
 
     def slots_of(nodes):
-        return np.asarray(
-            [int(pos2f[sym.pos[i]]) for i in nodes], dtype=np.int32
-        )
+        return np.asarray([int(pos2f[sym.pos[i]]) for i in nodes], dtype=np.int32)
 
-    plan = StepPlan(
-        m=m,
-        naffected=naffected,
-        MAXAFF=MAXAFF,
-        F_pos=F_pos,
-        F_node=F_node,
-        gather_fc=pad2(gather_fc, MAXAFF, -1),
-        scat_fc=pad2(scat_fc, MAXAFF, -1),
-        new_Ridx=pad2(new_rows, MAXAFF, NCAP),
-        new_Rnnz=pad1(new_nnz, MAXAFF, 0),
-        nf_a_slot=pad1(slots_of(nf_a), KNEW, 0),
-        nf_b_slot=pad1(slots_of(nf_b), KNEW, 0),
-        nf_a=pad1(nf_a, KNEW, 0),
-        nf_b=pad1(nf_b, KNEW, 0),
-        nf_z=pad2(np.asarray(nf_z, dtype=np.float64).reshape(-1, 3), KNEW, 0.0)
-        if nf_z else np.zeros((KNEW, 3)),
-        nf_W=pad2(np.asarray(nf_W, dtype=np.float64).reshape(-1, 3, 3), KNEW, 0.0)
-        if nf_W else np.zeros((KNEW, 3, 3)),
-        n_new_xyt=len(nf_a),
-        np_slot=pad1(slots_of(np_n), KNEW, 0),
-        np_node=pad1(np_n, KNEW, 0),
-        np_z=pad2(np.asarray(np_z, dtype=np.float64).reshape(-1, 3), KNEW, 0.0)
-        if np_z else np.zeros((KNEW, 3)),
-        np_W=pad2(np.asarray(np_W, dtype=np.float64).reshape(-1, 3, 3), KNEW, 0.0)
-        if np_W else np.zeros((KNEW, 3, 3)),
-        n_new_pos=len(np_n),
-        MAXFR=MAXFR,
+    seti("nf_a_slot", slots_of(nf_a))
+    seti("nf_b_slot", slots_of(nf_b))
+    seti("nf_a", nf_a)
+    seti("nf_b", nf_b)
+    seti("np_slot", slots_of(np_n))
+    seti("np_node", np_n)
+    seti("fringe_pos", fringe, NCAP)
+    seti("fringe_node", sym.order[fringe] if len(fringe) else [])
+    seti("node_ids", new_ids, NCAP)
+    seti("seed_src", [s.src for s in seeds])
+    seti("seed_dst", [s.dst for s in seeds], NCAP)
+    seti("seed_inv", [1 if s.invert else 0 for s in seeds])
+    seti("scalars", [m, len(nf_a), len(np_n), len(fringe), len(new_ids),
+                     len(seeds), 0, 0])
+
+    if nf_z:
+        setf("nf_z", nf_z)
+        setf("nf_W", nf_W)
+    if np_z:
+        setf("np_z", np_z)
+        setf("np_W", np_W)
+    if new_ids:
+        setf("node_states", g.state[new_ids])
+    if seeds:
+        setf("seed_z", [s.z for s in seeds])
+
+    def pad2(a, n, fill):
+        out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    maps = np.stack([
+        pad2(gather_fc, MAXAFF, -1),
+        pad2(scat_fc, MAXAFF, -1),
+        pad2(new_rows, MAXAFF, NCAP),
+    ], axis=0)
+    return StepPlan(
+        m=m, naffected=naffected, MAXAFF=MAXAFF, MAXFR=MAXFR,
         fringe_overflow=fringe_overflow,
-        fringe_pos=pad1(fringe, MAXFR, NCAP),
-        fringe_node=pad1(sym.order[fringe] if len(fringe) else [], MAXFR, 0),
-        fringe_fc=pad2(fringe_fc, MAXFR, -1),
-        n_fringe=len(fringe),
+        ints=ints, floats=flts, maps=maps,
+        fringe_fc=pad2(fringe_fc_small, MAXFR, -1),
     )
-    return plan
 
 
 # ======================================================================
-# device frontal update (shared by fast and full paths)
+# device step
 # ======================================================================
 
-def _frontal_update(ds: DeviceState, MAXAFF: int, F_pos, F_node, gather_fc,
-                    scat_fc, new_Ridx, new_Rnnz, m,
-                    nf_a_slot, nf_b_slot, nf_a, nf_b, nf_z, nf_W, n_new_xyt,
-                    np_slot, np_node, np_z, np_W, n_new_pos):
-    """Dense frontal reconstruct + scatter-add + refactor + forward solve.
+def _unpack(vec, off, name, shape=None):
+    lo, hi = off[name]
+    seg = vec[lo:hi]
+    return seg if shape is None else seg.reshape(shape)
 
-    Returns (ds', R' upper [3M,3M], y' [3M], valid masks, spd).
-    """
+
+def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
+    FCAP = ds.xyt_a.shape[0]
+    FPOS = ds.pos_node.shape[0]
     dtype = ds.R_blocks.dtype
     M = MAXAFF
     K3 = 3 * M
 
-    row_valid = jnp.arange(M, dtype=jnp.int32) < m           # [M]
-    scalar_valid = jnp.repeat(row_valid, 3)                  # [3M]
+    sc = _unpack(ints, off_i, "scalars")
+    m, n_new_xyt, n_new_pos, n_fringe, n_nodes, n_seeds = (
+        sc[0], sc[1], sc[2], sc[3], sc[4], sc[5])
 
-    # ---- gather frontal R_F
-    rows = ds.R_blocks[jnp.clip(F_pos, 0, NCAP - 1)]         # [M, BCAP, 3, 3]
+    # ---------------- new node ingestion + odometry seeding
+    node_ids = _unpack(ints, off_i, "node_ids")
+    node_states = _unpack(floats, off_f, "node_states", (KNODE, 3)).astype(dtype)
+    nv = jnp.arange(KNODE, dtype=jnp.int32) < n_nodes
+    dst_nodes = jnp.where(nv, node_ids, NCAP)
+    state = ds.state.at[dst_nodes].set(node_states, mode="drop")
+    l_point = ds.l_point.at[dst_nodes].set(node_states, mode="drop")
+    delta_X = ds.delta_X.at[dst_nodes].set(0.0, mode="drop")
+
+    seed_src = _unpack(ints, off_i, "seed_src")
+    seed_dst = _unpack(ints, off_i, "seed_dst")
+    seed_inv = _unpack(ints, off_i, "seed_inv")
+    seed_z = _unpack(floats, off_f, "seed_z", (KSEED, 3)).astype(dtype)
+    for i in range(KSEED):
+        ok = i < n_seeds
+        src = jnp.clip(seed_src[i], 0, NCAP - 1)
+        z = jnp.where(seed_inv[i] > 0, xyt_inv(seed_z[i]), seed_z[i])
+        seeded = xyt_mul(state[src], z)
+        dst = jnp.where(ok, seed_dst[i], NCAP)
+        state = state.at[dst].set(seeded, mode="drop")
+        l_point = l_point.at[dst].set(seeded, mode="drop")
+
+    # ---------------- new factor table appends
+    nf_a = _unpack(ints, off_i, "nf_a")
+    nf_b = _unpack(ints, off_i, "nf_b")
+    nf_z = _unpack(floats, off_f, "nf_z", (KNEW, 3)).astype(dtype)
+    nf_W = _unpack(floats, off_f, "nf_W", (KNEW, 3, 3)).astype(dtype)
+    np_node = _unpack(ints, off_i, "np_node")
+    np_z = _unpack(floats, off_f, "np_z", (KNEW, 3)).astype(dtype)
+    np_W = _unpack(floats, off_f, "np_W", (KNEW, 3, 3)).astype(dtype)
+
+    nf_valid = jnp.arange(KNEW, dtype=jnp.int32) < n_new_xyt
+    widx = jnp.where(nf_valid, ds.n_xyt + jnp.arange(KNEW, dtype=jnp.int32), FCAP)
+    xyt_a = ds.xyt_a.at[widx].set(nf_a, mode="drop")
+    xyt_b = ds.xyt_b.at[widx].set(nf_b, mode="drop")
+    xyt_z = ds.xyt_z.at[widx].set(nf_z, mode="drop")
+    xyt_W = ds.xyt_W.at[widx].set(nf_W, mode="drop")
+
+    npv = jnp.arange(KNEW, dtype=jnp.int32) < n_new_pos
+    pidx = jnp.where(npv, ds.n_pos + jnp.arange(KNEW, dtype=jnp.int32), FPOS)
+    pos_node = ds.pos_node.at[pidx].set(np_node, mode="drop")
+    pos_z = ds.pos_z.at[pidx].set(np_z, mode="drop")
+    pos_W = ds.pos_W.at[pidx].set(np_W, mode="drop")
+
+    ds = ds._replace(
+        state=state, l_point=l_point, delta_X=delta_X,
+        xyt_a=xyt_a, xyt_b=xyt_b, xyt_z=xyt_z, xyt_W=xyt_W,
+        n_xyt=ds.n_xyt + n_new_xyt,
+        pos_node=pos_node, pos_z=pos_z, pos_W=pos_W,
+        n_pos=ds.n_pos + n_new_pos,
+        nnodes=ds.nnodes + n_nodes,
+    )
+
+    # ---------------- frontal gather
+    F_pos = _unpack(ints, off_i, "F_pos")
+    gather_fc = maps[0]
+    scat_fc = maps[1]
+    new_Ridx = maps[2]
+    new_Rnnz = _unpack(ints, off_i, "new_Rnnz")
+
+    row_valid = jnp.arange(M, dtype=jnp.int32) < m
+    scalar_valid = jnp.repeat(row_valid, 3)
+
+    rows = ds.R_blocks[jnp.clip(F_pos, 0, NCAP - 1)]
     rows = jnp.where(row_valid[:, None, None, None], rows, 0.0)
     r_ids = jnp.broadcast_to(jnp.arange(M)[:, None], (M, BCAP))
-    fc = gather_fc
-    fc_ok = fc >= 0
-    fc_safe = jnp.where(fc_ok, fc, M)                        # M = scratch col
+    fc_ok = gather_fc >= 0
+    fc_safe = jnp.where(fc_ok, gather_fc, M)
     RF = jnp.zeros((M, M + 1, 3, 3), dtype=dtype)
     RF = RF.at[r_ids, fc_safe].set(jnp.where(fc_ok[..., None, None], rows, 0.0))
-    RF = RF[:, :M]                                           # [M, M, 3, 3]
-    R_dense = RF.transpose(0, 2, 1, 3).reshape(K3, K3)
-
-    # identity on padded diagonal slots keeps the stacked system regular
+    R_dense = RF[:, :M].transpose(0, 2, 1, 3).reshape(K3, K3)
     R_dense = R_dense + jnp.where(scalar_valid, 0.0, 1.0) * jnp.eye(
         K3, dtype=dtype)
 
-    # ---- y gather
     yscal = (3 * jnp.clip(F_pos, 0, NCAP - 1)[:, None]
-             + jnp.arange(3)[None, :]).reshape(-1)           # [3M]
+             + jnp.arange(3)[None, :]).reshape(-1)
     y_F = jnp.where(scalar_valid, ds.y[yscal], 0.0)
 
-    # ---- new measurement rows (aprilsam.c:508-542, but as stacked
-    # square-root rows instead of J^T W J block sums: the frontal update is
-    # a QR factor update  qr([R_F; W^{1/2} J]) — algebraically identical
-    # (R'^T R' = R_F^T R_F + J^T W J) but backward stable in float32,
-    # whereas forming R^T R squares the condition number)
-    KNEW = nf_a.shape[0]
-    nf_valid = jnp.arange(KNEW, dtype=jnp.int32) < n_new_xyt
+    # ---------------- stacked square-root measurement rows
+    # (aprilsam.c:508-542 as a QR factor update; see module docstring)
     ev = eval_xyt(ds.l_point, jnp.clip(nf_a, 0, NCAP - 1),
-                  jnp.clip(nf_b, 0, NCAP - 1), nf_z.astype(dtype),
-                  nf_W.astype(dtype))
-    npv = jnp.arange(KNEW, dtype=jnp.int32) < n_new_pos
-    evp = eval_xytpos(ds.state, jnp.clip(np_node, 0, NCAP - 1),
-                      np_z.astype(dtype), np_W.astype(dtype))
+                  jnp.clip(nf_b, 0, NCAP - 1), nf_z, nf_W)
+    evp = eval_xytpos(ds.state, jnp.clip(np_node, 0, NCAP - 1), np_z, np_W)
 
     def w_sqrt(W):
         # symmetric square root via eigh (robust to singular priors); W is
-        # used in its upper-mirrored symmetric form — identical to the
+        # taken in its upper-mirrored symmetric form — identical to the
         # reference for every symmetric/diagonal W it ships with
         Ws = jnp.triu(W) + jnp.triu(W, 1).transpose(0, 2, 1)
         lam, V = jnp.linalg.eigh(Ws)
         lam = jnp.sqrt(jnp.maximum(lam, 0.0))
         return jnp.einsum("fik,fk,fjk->fij", V, lam, V)
 
-    Wh_xyt = w_sqrt(nf_W.astype(dtype)) * nf_valid[:, None, None]
-    Wh_pos = w_sqrt(np_W.astype(dtype)) * npv[:, None, None]
+    Wh_xyt = w_sqrt(nf_W) * nf_valid[:, None, None]
+    Wh_pos = w_sqrt(np_W) * npv[:, None, None]
 
+    nf_a_slot = _unpack(ints, off_i, "nf_a_slot")
+    nf_b_slot = _unpack(ints, off_i, "nf_b_slot")
+    np_slot = _unpack(ints, off_i, "np_slot")
     sa = jnp.where(nf_valid, nf_a_slot, M)
     sb = jnp.where(nf_valid, nf_b_slot, M)
     sp = jnp.where(npv, np_slot, M)
 
-    # xyt rows: W^{1/2} [Ja at col sa | Jb at col sb], rhs W^{1/2} r
     Jrow = jnp.zeros((KNEW, 3, M + 1, 3), dtype=dtype)
     Jrow = Jrow.at[jnp.arange(KNEW), :, sa, :].add(
         jnp.einsum("fik,fkj->fij", Wh_xyt, ev.Ja))
@@ -342,27 +443,23 @@ def _frontal_update(ds: DeviceState, MAXAFF: int, F_pos, F_node, gather_fc,
     C = jnp.concatenate([R_dense, xyt_rows, pos_rows], axis=0)
     d_stack = jnp.concatenate([y_F, xyt_rhs, pos_rhs], axis=0)
 
-    # ---- refactor: thin QR (aprilsam.c:850-906, square-root form)
+    # ---------------- thin QR refactor (aprilsam.c:850-906)
     Q, Rq = jnp.linalg.qr(C, mode="reduced")
     sgn = jnp.where(jnp.diagonal(Rq) < 0, -1.0, 1.0).astype(dtype)
     R_up = sgn[:, None] * Rq
     diag = jnp.diagonal(R_up)
     spd = jnp.all(jnp.where(scalar_valid, jnp.isfinite(diag) & (diag > 0), True))
 
-    # ---- gated forward solve on y (aprilsam.c:702-719): y' = Q^T d
+    # gated forward solve on y (aprilsam.c:702-719): y' = Q^T d
     y_new = sgn * (Q.T @ d_stack)
-
-    # scatter y back (valid rows only)
     y_out = ds.y.at[jnp.where(scalar_valid, yscal, NCAP * 3)].set(
-        y_new, mode="drop"
-    )
+        y_new, mode="drop")
 
-    # ---- scatter R_F' back on the NEW pattern
-    Rt = R_up.reshape(M, 3, M, 3).transpose(0, 2, 1, 3)      # [Mrow, Mcol, 3, 3]
+    # ---------------- scatter R' back on the NEW pattern
+    Rt = R_up.reshape(M, 3, M, 3).transpose(0, 2, 1, 3)
     sc_ok = scat_fc >= 0
     sc_safe = jnp.clip(scat_fc, 0, M - 1)
-    newblocks = Rt[r_ids, sc_safe]                           # [M, BCAP, 3, 3]
-    newblocks = jnp.where(sc_ok[..., None, None], newblocks, 0.0)
+    newblocks = jnp.where(sc_ok[..., None, None], Rt[r_ids, sc_safe], 0.0)
     dest_rows = jnp.where(row_valid, F_pos, NCAP)
     R_blocks = ds.R_blocks.at[
         jnp.broadcast_to(dest_rows[:, None], (M, BCAP)),
@@ -375,54 +472,63 @@ def _frontal_update(ds: DeviceState, MAXAFF: int, F_pos, F_node, gather_fc,
     return ds, R_up, y_new, row_valid, scalar_valid, spd
 
 
-@partial(jax.jit, static_argnames=("MAXAFF", "MAXFR"),
+def _finish(ds: DeviceState, chi2, start_over, spd):
+    """Write the per-step metric ring and pack the policy stats vector."""
+    LOG = ds.chi2_log.shape[0]
+    chi2_log = ds.chi2_log.at[jnp.clip(ds.log_ptr, 0, LOG - 1)].set(chi2)
+    ds = ds._replace(chi2_log=chi2_log, log_ptr=ds.log_ptr + 1,
+                     start_over=start_over)
+    stats = jnp.stack([
+        chi2.astype(jnp.float32),
+        start_over.astype(jnp.float32),
+        spd.astype(jnp.float32),
+    ])
+    return ds, stats
+
+
+@partial(jax.jit,
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta"),
          donate_argnames=("ds",))
-def inc_step_fast(
-    ds: DeviceState,
-    F_pos, F_node, gather_fc, scat_fc, new_Ridx, new_Rnnz, m,
-    nf_a_slot, nf_b_slot, nf_a, nf_b, nf_z, nf_W, n_new_xyt,
-    np_slot, np_node, np_z, np_W, n_new_pos,
-    fringe_pos, fringe_node, fringe_fc, n_fringe,
-    delta_xy, delta_theta,
-    MAXAFF: int, MAXFR: int,
-):
-    """Fast path (naffected <= 5): frontal update + affected-only
-    back-substitution + fringe bookkeeping."""
+def inc_step_fast(ds: DeviceState, ints, floats, maps, fringe_fc,
+                  MAXAFF: int, MAXFR: int, KNEW: int,
+                  delta_xy: float, delta_theta: float):
     NCAP = ds.state.shape[0]
-    BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
     M = MAXAFF
+    off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
+    off_f, _ = floats_layout(KNEW)
 
-    ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_update(
-        ds, MAXAFF, F_pos, F_node, gather_fc, scat_fc, new_Ridx, new_Rnnz, m,
-        nf_a_slot, nf_b_slot, nf_a, nf_b, nf_z, nf_W, n_new_xyt,
-        np_slot, np_node, np_z, np_W, n_new_pos)
+    ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_core(
+        ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW)
 
     # back-substitution restricted to F (exact: F is ancestor-closed)
     x_F = jax.scipy.linalg.solve_triangular(R_up, y_new, lower=False)
     dxF = x_F.reshape(M, 3)
 
+    sc = _unpack(ints, off_i, "scalars")
+    n_fringe = sc[3]
+    F_node = _unpack(ints, off_i, "F_node")
+    fringe_pos = _unpack(ints, off_i, "fringe_pos")
+    fringe_node = _unpack(ints, off_i, "fringe_node")
+
     # fringe: children of F — compute x, delta_X and relinearization only
     # (solve_node visits them once and prunes, aprilsam.c:752-771)
     fr_valid = jnp.arange(MAXFR, dtype=jnp.int32) < n_fringe
-    fr_rows = ds.R_blocks[jnp.clip(fringe_pos, 0, NCAP - 1)]   # [MAXFR,BCAP,3,3]
+    fr_rows = ds.R_blocks[jnp.clip(fringe_pos, 0, NCAP - 1)]
     fc_ok = fringe_fc >= 0
-    xF_blocks = dxF[jnp.clip(fringe_fc, 0, M - 1)]             # [MAXFR,BCAP,3]
+    xF_blocks = dxF[jnp.clip(fringe_fc, 0, M - 1)]
     contrib = jnp.einsum("kbij,kbj->kbi", fr_rows,
                          jnp.where(fc_ok[..., None], xF_blocks, 0.0))
-    # slot 0 is the diagonal block; off-diagonal sum excludes it
-    off = jnp.sum(contrib[:, 1:], axis=1)                      # [MAXFR, 3]
+    off = jnp.sum(contrib[:, 1:], axis=1)
     yscal_fr = (3 * jnp.clip(fringe_pos, 0, NCAP - 1)[:, None]
                 + jnp.arange(3)[None, :])
-    y_fr = ds.y[yscal_fr]                                      # [MAXFR, 3]
-    T = fr_rows[:, 0]                                          # [MAXFR, 3, 3] upper
-    rhs = y_fr - off
+    y_fr = ds.y[yscal_fr]
+    T = fr_rows[:, 0] + jnp.eye(3, dtype=dtype) * jnp.where(
+        fr_valid, 0.0, 1.0)[:, None, None]
     x_fr = jax.vmap(
         lambda Tk, bk: jax.scipy.linalg.solve_triangular(Tk, bk, lower=False)
-    )(T + jnp.eye(3, dtype=dtype) * jnp.where(fr_valid, 0.0, 1.0)[:, None, None],
-      rhs)
+    )(T, y_fr - off)
 
-    # ---- updates & bookkeeping
     def relin_mask(dx):
         return (jnp.abs(dx[:, 0]) > delta_xy) | (jnp.abs(dx[:, 1]) > delta_xy) \
             | (jnp.abs(dx[:, 2]) > delta_theta)
@@ -430,7 +536,6 @@ def inc_step_fast(
     ids_F = jnp.where(row_valid, F_node, NCAP)
     ids_fr = jnp.where(fr_valid, fringe_node, NCAP)
 
-    # relinearization counting over F then fringe
     already = ds.relinearized
     newly_F = relin_mask(dxF) & row_valid & ~already[jnp.clip(ids_F, 0, NCAP - 1)]
     already = already.at[ids_F].set(
@@ -443,70 +548,59 @@ def inc_step_fast(
     start_over = ds.start_over + jnp.sum(newly_F).astype(jnp.int32) \
         + jnp.sum(newly_fr).astype(jnp.int32)
 
-    # delta_X for F and fringe
     delta_X = ds.delta_X.at[ids_F].set(dxF, mode="drop")
     delta_X = delta_X.at[ids_fr].set(x_fr, mode="drop")
 
-    # state update only for F (NaN guard + wrap)
     ok = row_valid & ~jnp.any(jnp.isnan(dxF), axis=1)
     lp = ds.l_point[jnp.clip(ids_F, 0, NCAP - 1)]
     new_state_F = lp + dxF
     new_state_F = new_state_F.at[:, 2].set(mod2pi(new_state_F[:, 2]))
     state = ds.state.at[jnp.where(ok, ids_F, NCAP)].set(new_state_F, mode="drop")
 
-    ds = ds._replace(state=state, delta_X=delta_X, relinearized=already,
-                     start_over=start_over)
+    ds = ds._replace(state=state, delta_X=delta_X, relinearized=already)
     chi2 = state_chi2(ds)
-    return ds, chi2, spd
+    return _finish(ds, chi2, start_over, spd)
 
 
-@partial(jax.jit, static_argnames=("MAXAFF", "PANEL"),
+@partial(jax.jit,
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL",
+                          "delta_xy", "delta_theta"),
          donate_argnames=("ds",))
-def inc_step_full(
-    ds: DeviceState,
-    F_pos, F_node, gather_fc, scat_fc, new_Ridx, new_Rnnz, m,
-    nf_a_slot, nf_b_slot, nf_a, nf_b, nf_z, nf_W, n_new_xyt,
-    np_slot, np_node, np_z, np_W, n_new_pos,
-    delta_xy, delta_theta,
-    MAXAFF: int, PANEL: int,
-):
-    """Full path (naffected > 5): frontal update + panel-blocked
-    back-substitution over the whole factor, updating every node."""
+def inc_step_full(ds: DeviceState, ints, floats, maps, fringe_fc,
+                  MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int,
+                  delta_xy: float, delta_theta: float):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
+    off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
+    off_f, _ = floats_layout(KNEW)
 
-    ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_update(
-        ds, MAXAFF, F_pos, F_node, gather_fc, scat_fc, new_Ridx, new_Rnnz, m,
-        nf_a_slot, nf_b_slot, nf_a, nf_b, nf_z, nf_W, n_new_xyt,
-        np_slot, np_node, np_z, np_W, n_new_pos)
+    ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_core(
+        ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW)
 
     # ---- panel back-substitution x = R^{-1} y over all block rows
     NPAN = NCAP // PANEL
     n = ds.nnodes
 
-    xb = jnp.zeros((NCAP + 1, 3), dtype=dtype)  # row NCAP = sentinel zero
+    xb = jnp.zeros((NCAP + 1, 3), dtype=dtype)
 
     def panel_body(xb, j_rev):
         j = NPAN - 1 - j_rev
         p0 = j * PANEL
         rows = jax.lax.dynamic_slice_in_dim(ds.R_blocks, p0, PANEL, 0)
         idx = jax.lax.dynamic_slice_in_dim(ds.R_idx, p0, PANEL, 0)
-        yp = jax.lax.dynamic_slice_in_dim(
-            ds.y.reshape(NCAP, 3), p0, PANEL, 0)
+        yp = jax.lax.dynamic_slice_in_dim(ds.y.reshape(NCAP, 3), p0, PANEL, 0)
         beyond = idx >= (p0 + PANEL)
-        xg = xb[jnp.clip(idx, 0, NCAP)]                        # [PANEL,BCAP,3]
+        xg = xb[jnp.clip(idx, 0, NCAP)]
         acc = jnp.einsum("pbij,pbj->pbi", rows,
                          jnp.where(beyond[..., None], xg, 0.0))
-        rhs = yp - jnp.sum(acc, axis=1)                        # [PANEL, 3]
-        # dense within-panel triangle
+        rhs = yp - jnp.sum(acc, axis=1)
         inpan = (idx >= p0) & (idx < p0 + PANEL)
         lc = jnp.where(inpan, idx - p0, PANEL)
         pr = jnp.broadcast_to(jnp.arange(PANEL)[:, None], (PANEL, BCAP))
         T = jnp.zeros((PANEL, PANEL + 1, 3, 3), dtype=dtype)
         T = T.at[pr, lc].set(jnp.where(inpan[..., None, None], rows, 0.0))
         Td = T[:, :PANEL].transpose(0, 2, 1, 3).reshape(3 * PANEL, 3 * PANEL)
-        # identity on rows beyond the active range so the triangle is regular
         prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
         active = jnp.repeat(prow < n, 3)
         Td = Td + jnp.where(active, 0.0, 1.0) * jnp.eye(3 * PANEL, dtype=dtype)
@@ -517,21 +611,18 @@ def inc_step_full(
         return xb, None
 
     xb, _ = jax.lax.scan(panel_body, xb, jnp.arange(NPAN))
-    x_pos = xb[:NCAP]                                          # position space
+    x_pos = xb[:NCAP]
 
-    # scatter to node space: dx[node] = x_pos[pos[node]]
     node_ids = jnp.arange(NCAP, dtype=jnp.int32)
     valid = node_ids < n
     dx = jnp.where(valid[:, None], x_pos[jnp.clip(ds.pos, 0, NCAP - 1)], 0.0)
 
-    # relinearization counting over every visited (= every valid) node
     relin = ((jnp.abs(dx[:, 0]) > delta_xy) | (jnp.abs(dx[:, 1]) > delta_xy)
              | (jnp.abs(dx[:, 2]) > delta_theta)) & valid
     newly = relin & ~ds.relinearized
     start_over = ds.start_over + jnp.sum(newly).astype(jnp.int32)
     relinearized = ds.relinearized | relin
 
-    # update every node (naffected > 5 disables pruning, aprilsam.c:755-757)
     ok = valid & ~jnp.any(jnp.isnan(dx), axis=1)
     new_state = jnp.where(ok[:, None], ds.l_point + dx, ds.state)
     new_state = new_state.at[:, 2].set(
@@ -539,30 +630,42 @@ def inc_step_full(
     delta_X = jnp.where(ok[:, None], dx, ds.delta_X)
 
     ds = ds._replace(state=new_state, delta_X=delta_X,
-                     relinearized=relinearized, start_over=start_over)
+                     relinearized=relinearized)
     chi2 = state_chi2(ds)
-    return ds, chi2, spd
+    return _finish(ds, chi2, start_over, spd)
 
 
 # ======================================================================
 # orchestration
 # ======================================================================
 
+@dataclass
+class _Pending:
+    step: int
+    stats: jax.Array
+    dispatched_after_batch: int  # batch-epoch serial at dispatch time
+
+
 class IncrementalSolver:
-    """Drop-in counterpart of the reference's incremental API: call
-    solve() for a batch epoch, update() after appending nodes/factors for an
-    AprilSAM incremental step with automatic batch fallback."""
+    """Counterpart of the reference's incremental API: solve() runs a batch
+    epoch, update() an AprilSAM incremental step with automatic batch
+    fallback.  With cfg.policy_lag > 0 the policy counters are read back
+    asynchronously (decisions may lag a few steps) so the device pipeline
+    never stalls on the host round-trip."""
 
     def __init__(self, cfg: Optional[SolverConfig] = None):
         self.cfg = cfg or SolverConfig()
         self.ds = init_device_state(self.cfg)
         self.sym: Optional[SymbolicState] = None
-        self.factor_num = 0        # factors included in the last solve
+        self.factor_num = 0
         self.node_num = 0
-        self.batch_time_ms = 0.0   # param->batch_time
+        self.batch_time_ms = 0.0
         self._ingested_nodes = 0
         self._ingested_factors = 0
-        self.last_path = "none"    # "fast" | "full" | "batch" (observability)
+        self.last_path = "none"
+        self.steps_done = 0
+        self._batch_serial = 0
+        self._pending: deque = deque()
 
     # ---------------------------------------------------------------
 
@@ -573,8 +676,6 @@ class IncrementalSolver:
         self._ingested_factors = g.nfactors
 
     def _grow_row_capacity(self):
-        """Re-shape the R storage for a larger per-row block capacity (fill
-        outgrew the static headroom; recompile-once event)."""
         import dataclasses
 
         cfg = dataclasses.replace(
@@ -590,13 +691,15 @@ class IncrementalSolver:
         )
         self.cfg = cfg
 
-    def _run_batch(self, g: FactorGraph, record_time: bool = False) -> BatchInfo:
+    def _run_batch(self, g: FactorGraph, record_time: bool = False,
+                   log_mode: int = 0) -> BatchInfo:
         t0 = time.perf_counter()
         while True:
             try:
                 self.ds, self.sym, info = run_batch_epoch(
                     self.ds, self.cfg, g.nnodes,
-                    g.ftype[: g.nfactors], g.fnodes[: g.nfactors])
+                    g.ftype[: g.nfactors], g.fnodes[: g.nfactors],
+                    log_mode=log_mode)
                 break
             except OverflowError:
                 self._grow_row_capacity()
@@ -608,6 +711,7 @@ class IncrementalSolver:
         self.factor_num = g.nfactors
         self.node_num = g.nnodes
         self.last_path = "batch"
+        self._batch_serial += 1
         return info
 
     def solve(self, g: FactorGraph) -> BatchInfo:
@@ -615,12 +719,42 @@ class IncrementalSolver:
         if g.nnodes == 0 or g.nfactors == 0:
             return BatchInfo(chi2=0.0, spd=True, n=0)
         self._ingest(g)
-        return self._run_batch(g)
+        info = self._run_batch(g)
+        self.steps_done += 1
+        return info
 
-    def update(self, g: FactorGraph) -> BatchInfo:
-        """Incremental update (april_graph_cholesky_inc): guards, frontal
-        step, policy gates, batch fallback."""
-        # guards (aprilsam.c:380-385)
+    # ---------------------------------------------------------------
+
+    def _apply_policy(self, stats: np.ndarray, serial: int, step_ms: float,
+                      g: FactorGraph) -> Optional[BatchInfo]:
+        start_over = int(stats[1])
+        spd = bool(stats[2] > 0.5)
+        if serial != self._batch_serial:
+            return None  # stats predate the last batch epoch; counters reset
+        if (self.cfg.wallclock_gate and self.cfg.policy_lag == 0
+                and step_ms > self.batch_time_ms * self.cfg.batch_time_fraction):
+            start_over = INT_MAX  # aprilsam.c:557-559
+        if self.cfg.check_spd and not spd:
+            start_over = INT_MAX
+        if start_over > self.cfg.nthreshold:  # aprilsam.c:566-575
+            mode = 1 if self.cfg.policy_lag == 0 else 2
+            return self._run_batch(g, record_time=True, log_mode=mode)
+        return None
+
+    def _drain_pending(self, g: FactorGraph, block_all: bool = False):
+        lag = self.cfg.policy_lag
+        while self._pending and (block_all or len(self._pending) > lag):
+            p = self._pending.popleft()
+            stats = np.asarray(p.stats)
+            self._apply_policy(stats, p.dispatched_after_batch, 0.0, g)
+
+    def update(self, g: FactorGraph,
+               seeds: Sequence[SeedSpec] = ()) -> Optional[BatchInfo]:
+        """Incremental update (april_graph_cholesky_inc).
+
+        With policy_lag == 0 this is fully synchronous and returns the step's
+        BatchInfo; with lag > 0 it returns None and policy decisions are
+        applied as stats arrive (use flush() at the end of a replay)."""
         if g.nnodes == 0 or g.nfactors == 0:
             return BatchInfo(chi2=0.0, spd=True, n=0)
         if self.sym is None:
@@ -629,93 +763,76 @@ class IncrementalSolver:
             return BatchInfo(chi2=float(state_chi2(self.ds)), spd=True, n=0)
 
         t0 = time.perf_counter()
-        self._ingest(g)
         try:
             plan = plan_step(self.sym, self.cfg, g, self.factor_num,
-                             g.nfactors, self.node_num)
+                             g.nfactors, self.node_num, seeds)
         except OverflowError:
-            # incremental fill outgrew row_block_capacity: a fresh batch
-            # epoch (new ordering) shrinks the fill again
             plan = None
         self.factor_num = g.nfactors
         self.node_num = g.nnodes
+        self._ingested_nodes = g.nnodes
+        self._ingested_factors = g.nfactors
 
         if plan is None:
-            # affected set exceeds the largest frontal bucket: escalate to a
-            # batch epoch (the reference's wall-clock gate would fire on such
-            # steps; documented policy deviation)
+            self.steps_done += 1
             return self._run_batch(g, record_time=True)
 
         dt = self.cfg.jnp_dtype
-        common = dict(
-            F_pos=jnp.asarray(plan.F_pos), F_node=jnp.asarray(plan.F_node),
-            gather_fc=jnp.asarray(plan.gather_fc),
-            scat_fc=jnp.asarray(plan.scat_fc),
-            new_Ridx=jnp.asarray(plan.new_Ridx),
-            new_Rnnz=jnp.asarray(plan.new_Rnnz),
-            m=jnp.int32(plan.m),
-            nf_a_slot=jnp.asarray(plan.nf_a_slot),
-            nf_b_slot=jnp.asarray(plan.nf_b_slot),
-            nf_a=jnp.asarray(plan.nf_a), nf_b=jnp.asarray(plan.nf_b),
-            nf_z=jnp.asarray(plan.nf_z, dtype=dt),
-            nf_W=jnp.asarray(plan.nf_W, dtype=dt),
-            n_new_xyt=jnp.int32(plan.n_new_xyt),
-            np_slot=jnp.asarray(plan.np_slot),
-            np_node=jnp.asarray(plan.np_node),
-            np_z=jnp.asarray(plan.np_z, dtype=dt),
-            np_W=jnp.asarray(plan.np_W, dtype=dt),
-            n_new_pos=jnp.int32(plan.n_new_pos),
-            delta_xy=jnp.asarray(self.cfg.delta_xy, dtype=dt),
-            delta_theta=jnp.asarray(self.cfg.delta_theta, dtype=dt),
-        )
+        ints = jnp.asarray(plan.ints)
+        floats = jnp.asarray(plan.floats.astype(self.cfg.dtype))
+        maps = jnp.asarray(plan.maps)
+        ffc = jnp.asarray(plan.fringe_fc)
+        K = self.cfg.new_factor_capacity
 
         if plan.naffected <= self.cfg.small_path_max and not plan.fringe_overflow:
             self.last_path = "fast"
-            self.ds, chi2, spd = inc_step_fast(
-                self.ds,
-                fringe_pos=jnp.asarray(plan.fringe_pos),
-                fringe_node=jnp.asarray(plan.fringe_node),
-                fringe_fc=jnp.asarray(plan.fringe_fc),
-                n_fringe=jnp.int32(plan.n_fringe),
-                MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR,
-                **common,
-            )
+            self.ds, stats = inc_step_fast(
+                self.ds, ints, floats, maps, ffc,
+                MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
+                delta_xy=float(self.cfg.delta_xy),
+                delta_theta=float(self.cfg.delta_theta))
         else:
             self.last_path = "full"
-            self.ds, chi2, spd = inc_step_full(
-                self.ds,
-                MAXAFF=plan.MAXAFF, PANEL=self.cfg.panel_nodes,
-                **common,
-            )
+            self.ds, stats = inc_step_full(
+                self.ds, ints, floats, maps, ffc,
+                MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
+                PANEL=self.cfg.panel_nodes,
+                delta_xy=float(self.cfg.delta_xy),
+                delta_theta=float(self.cfg.delta_theta))
 
-        start_over = int(self.ds.start_over)
-        chi2_f = float(chi2)
-        step_ms = (time.perf_counter() - t0) * 1e3
+        self.steps_done += 1
 
-        # wall-clock gate (aprilsam.c:557-559)
-        if (self.cfg.wallclock_gate
-                and step_ms > self.batch_time_ms * self.cfg.batch_time_fraction):
-            start_over = INT_MAX
-        # SPD check (reference computes is_spd but ignores it; we act on it)
-        if self.cfg.check_spd and not bool(spd):
-            start_over = INT_MAX
+        if self.cfg.policy_lag == 0:
+            s = np.asarray(stats)
+            step_ms = (time.perf_counter() - t0) * 1e3
+            info = self._apply_policy(s, self._batch_serial, step_ms, g)
+            if info is not None:
+                return info
+            return BatchInfo(chi2=float(s[0]), spd=bool(s[2] > 0.5),
+                             n=g.nnodes)
+        else:
+            self._pending.append(
+                _Pending(self.steps_done - 1, stats, self._batch_serial))
+            self._drain_pending(g)
+            return None
 
-        # batch fallback (aprilsam.c:566-575)
-        if start_over > self.cfg.nthreshold:
-            info = self._run_batch(g, record_time=True)
-            return info
-
-        return BatchInfo(chi2=chi2_f, spd=bool(spd), n=g.nnodes)
+    def flush(self, g: FactorGraph):
+        """Consume all pending policy stats (end of replay)."""
+        self._drain_pending(g, block_all=True)
 
     # ---------------------------------------------------------------
 
     def chi2(self) -> float:
         return float(state_chi2(self.ds))
 
+    def chi2_history(self) -> np.ndarray:
+        """Per-optimize chi2 values from the device-side metric ring."""
+        n = int(self.ds.log_ptr)
+        return np.asarray(jax.device_get(self.ds.chi2_log))[:n]
+
     def sync_states(self, g: FactorGraph) -> None:
-        g.state[: g.nnodes] = np.asarray(self.ds.state[: g.nnodes],
-                                         dtype=np.float64)
-        g.l_point[: g.nnodes] = np.asarray(self.ds.l_point[: g.nnodes],
-                                           dtype=np.float64)
-        g.delta_X[: g.nnodes] = np.asarray(self.ds.delta_X[: g.nnodes],
-                                           dtype=np.float64)
+        st, lp, dx = jax.device_get(
+            (self.ds.state, self.ds.l_point, self.ds.delta_X))
+        g.state[: g.nnodes] = st[: g.nnodes].astype(np.float64)
+        g.l_point[: g.nnodes] = lp[: g.nnodes].astype(np.float64)
+        g.delta_X[: g.nnodes] = dx[: g.nnodes].astype(np.float64)

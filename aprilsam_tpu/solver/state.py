@@ -58,6 +58,10 @@ class DeviceState(NamedTuple):
     start_over: jax.Array    # int32 scalar (tr->start_over)
     nnodes: jax.Array        # int32 scalar
 
+    # --- per-step metrics ring (device-side so replay never syncs) ---
+    chi2_log: jax.Array      # [LOGCAP]
+    log_ptr: jax.Array       # int32 scalar
+
 
 def init_device_state(cfg: SolverConfig) -> DeviceState:
     NCAP = cfg.node_capacity
@@ -89,6 +93,8 @@ def init_device_state(cfg: SolverConfig) -> DeviceState:
         n_pos=jnp.int32(0),
         start_over=jnp.int32(0),
         nnodes=jnp.int32(0),
+        chi2_log=f(2 * NCAP),
+        log_ptr=jnp.int32(0),
     )
 
 
