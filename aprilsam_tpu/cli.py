@@ -53,6 +53,9 @@ def main(argv=None) -> int:
 
     import jax
 
+    from aprilsam_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.dtype is None:
         platform = jax.devices()[0].platform
         args.dtype = "float64" if platform == "cpu" else "float32"

@@ -1,0 +1,24 @@
+"""Persistent XLA compilation cache setup.
+
+TPU compiles in this environment go through a remote-compile relay and cost
+tens of seconds each; the persistent cache makes warm restarts near-free.
+"""
+
+import os
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    import jax
+
+    path = path or os.environ.get(
+        "APRILSAM_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimization only

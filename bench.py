@@ -22,6 +22,9 @@ CHI2_BAND = (60.0, 80.0)  # sanity band around the reference optimum ~69
 def main() -> int:
     import jax
 
+    from aprilsam_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     platform = jax.devices()[0].platform
     use_x64 = platform == "cpu"
     if use_x64:

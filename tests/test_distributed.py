@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+
+import jax
+
+from aprilsam_tpu.datasets import manhattan_world
+from aprilsam_tpu.parallel.dist import make_mesh
+from aprilsam_tpu.parallel.schur import partition_graph, schur_solve
+from aprilsam_tpu.solver import BatchSolver, SolverConfig
+
+
+def test_manhattan_generator():
+    g = manhattan_world(400, seed=3)
+    assert g.nnodes == 400
+    # odometry chain + prior + some closures
+    assert g.nfactors > 400
+    c0 = g.chi2()
+    assert np.isfinite(c0) and c0 > 0
+
+
+def test_schur_partition_covers_graph():
+    g = manhattan_world(300, seed=1)
+    part = partition_graph(g, 4)
+    covered = np.zeros(g.nnodes, dtype=int)
+    for ids in part.interiors:
+        covered[ids] += 1
+    covered[part.sep_nodes] += 1
+    assert np.all(covered == 1)
+    # every factor assigned exactly once
+    total = int(np.sum(part.fvalid)) + int(np.sum(part.pvalid))
+    assert total == g.nfactors
+
+
+def test_schur_matches_single_device_solve():
+    """The domain-decomposition solve must match the monolithic batch solve
+    (same Gauss-Newton iterations) to fp tolerance."""
+    g = manhattan_world(240, seed=7, closure_prob=0.4)
+
+    cfg = SolverConfig(node_capacity=512, factor_capacity=2048,
+                       row_block_capacity=64, gn_iters=2)
+    mono = BatchSolver(cfg)
+    mono.solve(g)
+    # second GN iteration happens inside the batch step via gn_iters=2
+    mono.sync_states(g_mono := _copy_states(g))
+    chi2_mono = mono.chi2()
+
+    mesh = make_mesh(4)
+    part = partition_graph(g, 4)
+    states = schur_solve(mesh, g, part, gn_iters=2, dtype=np.float64)
+
+    g2 = _graph_with_states(g, states)
+    chi2_dd = g2.chi2()
+    assert abs(chi2_dd - chi2_mono) / max(chi2_mono, 1e-9) < 1e-5
+    np.testing.assert_allclose(states[:, :2], g_mono.state[: g.nnodes, :2],
+                               atol=1e-5)
+
+
+def _copy_states(g):
+    import copy
+
+    from aprilsam_tpu.graph import FactorGraph
+
+    out = FactorGraph()
+    out.state = g.state.copy()
+    out.l_point = g.l_point.copy()
+    out.delta_X = g.delta_X.copy()
+    out.nnodes = g.nnodes
+    return out
+
+
+def _graph_with_states(g, states):
+    import copy
+
+    g2 = copy.deepcopy(g)
+    g2.state[: g.nnodes] = states
+    return g2
