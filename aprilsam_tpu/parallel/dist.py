@@ -66,7 +66,6 @@ def dp_batch_solve(
             P("dp"), P("dp"), P("dp"), P("dp"),
         ),
         out_specs=(P(), P(), P()),
-        check_rep=False,
     )
     def step(lp, st, pp, xa, xb, xz, xW, xv, pn, pz, pW, pv):
         A_loc, B_loc = assemble_block_dense(

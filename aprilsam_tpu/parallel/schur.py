@@ -173,7 +173,6 @@ def schur_solve(
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
     )
     def gn_step(loc_states, fa, fb, fz, fW, fv, pn, pz, pW):
         # shard_map gives [1, ...] per-device slices
