@@ -248,6 +248,9 @@ class BatchSolver:
     examples/aprilsam_demo.c:224-228)."""
 
     def __init__(self, cfg: Optional[SolverConfig] = None):
+        from ..utils import setup_precision
+
+        setup_precision()
         self.cfg = cfg or SolverConfig()
         self.ds = init_device_state(self.cfg)
         self.sym: Optional[SymbolicState] = None

@@ -654,6 +654,9 @@ class IncrementalSolver:
     never stalls on the host round-trip."""
 
     def __init__(self, cfg: Optional[SolverConfig] = None):
+        from ..utils import setup_precision
+
+        setup_precision()
         self.cfg = cfg or SolverConfig()
         self.ds = init_device_state(self.cfg)
         self.sym: Optional[SymbolicState] = None

@@ -1,3 +1,3 @@
-from .cache import enable_compilation_cache
+from .cache import enable_compilation_cache, setup_precision
 
-__all__ = ["enable_compilation_cache"]
+__all__ = ["enable_compilation_cache", "setup_precision"]

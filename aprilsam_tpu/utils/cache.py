@@ -7,6 +7,19 @@ tens of seconds each; the persistent cache makes warm restarts near-free.
 import os
 
 
+def setup_precision() -> None:
+    """Force float32 matmul precision on TPU.
+
+    The MXU's default f32 "matmul" multiplies bf16-truncated operands
+    (~1e-3 relative error), which is catastrophic for normal-equation
+    assembly: the assembled Hessian goes indefinite and Cholesky NaNs.
+    Gauss-Newton assembly, QR updates, and solves all need true fp32.
+    """
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
 def enable_compilation_cache(path: str = None) -> None:
     import jax
 
