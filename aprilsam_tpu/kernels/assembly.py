@@ -2,11 +2,14 @@
 
 TPU-native replacement for the reference's per-factor assembly loop
 (aprilsam.c:152-195): all factors are linearized in one vmapped kernel
-(factors.py) and their 3x3 Gauss-Newton blocks scatter-added into the block
-Hessian with a single XLA scatter.  The reference's upper-triangle rule is
-replicated exactly: it keeps only scalar entries with row <= col and mirrors
-them (aprilsam.c:169-178, 216-225), which matters because the M3500 loader
-fills W upper-triangular only — the lower-triangle J^T W J contribution is
+(factors.py) and their 3x3 Gauss-Newton blocks scatter-added into the dense
+normal equations with a single XLA scatter over scalar indices (a block-grid
+intermediate would materialize an [MB+1, MB+1, 3, 3] tensor — 600 MB at the
+4096-node bucket — so blocks are expanded to scalar (row, col) index pairs
+instead).  The reference's upper-triangle rule is replicated exactly: it
+keeps only scalar entries with row <= col and mirrors them
+(aprilsam.c:169-178, 216-225), which matters because the M3500 loader fills
+W upper-triangular only — the lower-triangle J^T W J contribution is
 discarded, not symmetrized.
 """
 
@@ -16,6 +19,20 @@ import jax
 import jax.numpy as jnp
 
 from ..factors import eval_xyt, eval_xytpos, gn_blocks_xyt
+
+
+def _scatter_block(dense, pr, pc, H):
+    """dense[3*pr+i, 3*pc+j] += H[f, i, j] for each factor f."""
+    r = 3 * pr[:, None, None] + jnp.arange(3)[None, :, None]
+    c = 3 * pc[:, None, None] + jnp.arange(3)[None, None, :]
+    r = jnp.broadcast_to(r, H.shape)
+    c = jnp.broadcast_to(c, H.shape)
+    return dense.at[r, c].add(H, mode="drop")
+
+
+def _scatter_vec(vec, pr, g):
+    r = 3 * pr[:, None] + jnp.arange(3)[None, :]
+    return vec.at[r].add(g, mode="drop")
 
 
 def assemble_block_dense(
@@ -31,42 +48,38 @@ def assemble_block_dense(
     """Assemble the dense (bucketed) normal equations in position space.
 
     Returns (A [3MB, 3MB] symmetric-by-upper-mirror, B [3MB]).
-    Invalid (padded) factors scatter into a scratch row MB that is dropped.
+    Invalid (padded) factors scatter out of range and are dropped.
     """
-    scratch = MB  # one extra block row/col for masked scatter
-
-    Ablk = jnp.zeros((MB + 1, MB + 1, 3, 3), dtype=dtype)
-    Bblk = jnp.zeros((MB + 1, 3), dtype=dtype)
+    n3 = 3 * MB
+    dense = jnp.zeros((n3, n3), dtype=dtype)
+    B = jnp.zeros(n3, dtype=dtype)
+    oob = MB  # 3*MB is out of range -> dropped
 
     if xyt_a.shape[0]:
         ev = eval_xyt(l_points, xyt_a, xyt_b, xyt_z.astype(dtype), xyt_W.astype(dtype))
         Haa, Hab, Hba, Hbb, ga, gb = gn_blocks_xyt(ev, xyt_W.astype(dtype))
-        pa = jnp.where(xyt_valid, pos[xyt_a], scratch)
-        pb = jnp.where(xyt_valid, pos[xyt_b], scratch)
-        Ablk = Ablk.at[pa, pa].add(Haa)
-        Ablk = Ablk.at[pa, pb].add(Hab)
-        Ablk = Ablk.at[pb, pa].add(Hba)
-        Ablk = Ablk.at[pb, pb].add(Hbb)
-        Bblk = Bblk.at[pa].add(ga)
-        Bblk = Bblk.at[pb].add(gb)
+        pa = jnp.where(xyt_valid, pos[xyt_a], oob)
+        pb = jnp.where(xyt_valid, pos[xyt_b], oob)
+        dense = _scatter_block(dense, pa, pa, Haa)
+        dense = _scatter_block(dense, pa, pb, Hab)
+        dense = _scatter_block(dense, pb, pa, Hba)
+        dense = _scatter_block(dense, pb, pb, Hbb)
+        B = _scatter_vec(B, pa, ga)
+        B = _scatter_vec(B, pb, gb)
 
     if pos_node.shape[0]:
         ev = eval_xytpos(states, pos_node, pos_z.astype(dtype), pos_W.astype(dtype))
         W = pos_W.astype(dtype)
         g = jnp.einsum("fij,fj->fi", W, ev.r)
-        pp = jnp.where(pos_valid, pos[pos_node], scratch)
-        Ablk = Ablk.at[pp, pp].add(W)  # J = I so H = W (april_graph_xytpos.c:73-76)
-        Bblk = Bblk.at[pp].add(g)
+        pp = jnp.where(pos_valid, pos[pos_node], oob)
+        dense = _scatter_block(dense, pp, pp, W)  # J = I so H = W
+        B = _scatter_vec(B, pp, g)
 
-    dense = (
-        Ablk[:MB, :MB].transpose(0, 2, 1, 3).reshape(3 * MB, 3 * MB)
-    )
     # reference upper-triangle rule: keep row<=col scalars, mirror
     # (aprilsam.c:171, 216-225)
     U = jnp.triu(dense)
     A = U + jnp.triu(dense, 1).T
-    A = A + jnp.asarray(tikhonov, dtype=dtype) * jnp.eye(3 * MB, dtype=dtype)
-    B = Bblk[:MB].reshape(3 * MB)
+    A = A + jnp.asarray(tikhonov, dtype=dtype) * jnp.eye(n3, dtype=dtype)
     return A, B
 
 

@@ -127,10 +127,13 @@ def _batch_step(
     # extract block-sparse R rows on the symbolic pattern: R[p, slot] =
     # L[c-block, p-block]^T (the reference copies CSparse L columns into smatd
     # rows, aprilsam.c:237-249)
-    Lb = L.reshape(MB, 3, MB, 3).transpose(0, 2, 1, 3)  # [rowblk, colblk, 3, 3]
     cp = jnp.clip(ext_c, 0, MB - 1)
     pp = jnp.clip(ext_p, 0, MB - 1)
-    blocks = Lb[cp, pp].transpose(0, 2, 1)  # [KEXT, 3, 3]
+    # R[p, slot] = L[3c:3c+3, 3p:3p+3]^T, gathered with scalar indices (no
+    # [MB, MB, 3, 3] transpose materialization at large buckets)
+    ri = 3 * cp[:, None, None] + jnp.arange(3)[None, :, None]
+    ci = 3 * pp[:, None, None] + jnp.arange(3)[None, None, :]
+    blocks = L[ri, ci].transpose(0, 2, 1)  # [KEXT, 3, 3]
     blocks = jnp.where(ext_valid[:, None, None], blocks, 0.0)
     dest_p = jnp.where(ext_valid, ext_p, NCAP - 1)
     dest_s = jnp.where(ext_valid, ext_slot, ds.R_idx.shape[1] - 1)
