@@ -44,6 +44,10 @@ class SolverConfig:
     # one-step parity with the reference) and 2 in float32 (the second
     # iteration recovers the precision the float32 linear solve loses).
     gn_iters: int = None
+    # Batch epoch backend: "host" = native C float64 (exact reference
+    # semantics; default when built), "device" = jitted dense path,
+    # "auto" picks host when the native module is available.
+    batch_backend: str = "auto"
     check_spd: bool = True         # trigger batch fallback on non-SPD frontal
                                    # (fixes the reference's ignored is_spd flag,
                                    # smatd.c:669-699)

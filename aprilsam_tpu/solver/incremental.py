@@ -694,15 +694,33 @@ class IncrementalSolver:
         )
         self.cfg = cfg
 
+    def _use_host_batch(self) -> bool:
+        if self.cfg.batch_backend == "host":
+            return True
+        if self.cfg.batch_backend == "device":
+            return False
+        from .. import native
+
+        return native.available()
+
     def _run_batch(self, g: FactorGraph, record_time: bool = False,
                    log_mode: int = 0) -> BatchInfo:
         t0 = time.perf_counter()
         while True:
             try:
-                self.ds, self.sym, info = run_batch_epoch(
-                    self.ds, self.cfg, g.nnodes,
-                    g.ftype[: g.nfactors], g.fnodes[: g.nfactors],
-                    log_mode=log_mode)
+                if self._use_host_batch():
+                    from .host_batch import host_batch_epoch
+
+                    self.ds, self.sym, info = host_batch_epoch(
+                        self.ds, self.cfg, g.nnodes,
+                        g.ftype[: g.nfactors], g.fnodes[: g.nfactors],
+                        g.fz[: g.nfactors], g.fW[: g.nfactors],
+                        log_mode=log_mode)
+                else:
+                    self.ds, self.sym, info = run_batch_epoch(
+                        self.ds, self.cfg, g.nnodes,
+                        g.ftype[: g.nfactors], g.fnodes[: g.nfactors],
+                        log_mode=log_mode)
                 break
             except OverflowError:
                 self._grow_row_capacity()
