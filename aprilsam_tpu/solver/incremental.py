@@ -562,12 +562,51 @@ def inc_step_fast(ds: DeviceState, ints, floats, maps, fringe_fc,
     return _finish(ds, chi2, start_over, spd)
 
 
+def _gather_panel_triangle(ds: DeviceState, p0, PANEL: int, n):
+    """Dense upper triangle of the panel's diagonal block (identity on rows
+    past the active range)."""
+    NCAP = ds.state.shape[0]
+    BCAP = ds.R_idx.shape[1]
+    dtype = ds.R_blocks.dtype
+    rows = jax.lax.dynamic_slice_in_dim(ds.R_blocks, p0, PANEL, 0)
+    idx = jax.lax.dynamic_slice_in_dim(ds.R_idx, p0, PANEL, 0)
+    inpan = (idx >= p0) & (idx < p0 + PANEL)
+    lc = jnp.where(inpan, idx - p0, PANEL)
+    pr = jnp.broadcast_to(jnp.arange(PANEL)[:, None], (PANEL, BCAP))
+    T = jnp.zeros((PANEL, PANEL + 1, 3, 3), dtype=dtype)
+    T = T.at[pr, lc].set(jnp.where(inpan[..., None, None], rows, 0.0))
+    Td = T[:, :PANEL].transpose(0, 2, 1, 3).reshape(3 * PANEL, 3 * PANEL)
+    prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
+    active = jnp.repeat(prow < n, 3)
+    Td = Td + jnp.where(active, 0.0, 1.0) * jnp.eye(3 * PANEL, dtype=dtype)
+    return Td
+
+
+def _refresh_panel_inverses(ds: DeviceState, dirty, n_dirty, PANEL: int):
+    """Recompute Tinv for the (padded) dirty panel list: gather triangles,
+    batched triangular solve against I, scatter back."""
+    NPAN = ds.Tinv.shape[0]
+    dtype = ds.Tinv.dtype
+    DP = dirty.shape[0]
+    n = ds.nnodes
+    valid = jnp.arange(DP, dtype=jnp.int32) < n_dirty
+    pids = jnp.clip(dirty, 0, NPAN - 1)
+    Ts = jax.vmap(lambda j: _gather_panel_triangle(ds, j * PANEL, PANEL, n))(pids)
+    eye = jnp.eye(3 * PANEL, dtype=dtype)
+    invs = jax.vmap(
+        lambda T: jax.scipy.linalg.solve_triangular(T, eye, lower=False)
+    )(Ts)
+    Tinv = ds.Tinv.at[jnp.where(valid, pids, NPAN)].set(invs, mode="drop")
+    return ds._replace(Tinv=Tinv)
+
+
 @partial(jax.jit,
-         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL",
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "DP",
                           "delta_xy", "delta_theta"),
          donate_argnames=("ds",))
 def inc_step_full(ds: DeviceState, ints, floats, maps, fringe_fc,
-                  MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int,
+                  dirty, n_dirty,
+                  MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, DP: int,
                   delta_xy: float, delta_theta: float):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
@@ -578,7 +617,14 @@ def inc_step_full(ds: DeviceState, ints, floats, maps, fringe_fc,
     ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_core(
         ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW)
 
-    # ---- panel back-substitution x = R^{-1} y over all block rows
+    # ---- refresh stale panel inverses (rows changed since the last full
+    # solve, including this step's frontal scatter)
+    ds = _refresh_panel_inverses(ds, dirty, n_dirty, PANEL)
+
+    # ---- panel back-substitution x = R^{-1} y over all block rows:
+    # per panel, one sparse gather-matvec for the beyond-panel columns and
+    # one dense matmul with the cached inverse triangle (MXU) — no
+    # sequential triangular solves
     NPAN = NCAP // PANEL
     n = ds.nnodes
 
@@ -594,18 +640,10 @@ def inc_step_full(ds: DeviceState, ints, floats, maps, fringe_fc,
         xg = xb[jnp.clip(idx, 0, NCAP)]
         acc = jnp.einsum("pbij,pbj->pbi", rows,
                          jnp.where(beyond[..., None], xg, 0.0))
-        rhs = yp - jnp.sum(acc, axis=1)
-        inpan = (idx >= p0) & (idx < p0 + PANEL)
-        lc = jnp.where(inpan, idx - p0, PANEL)
-        pr = jnp.broadcast_to(jnp.arange(PANEL)[:, None], (PANEL, BCAP))
-        T = jnp.zeros((PANEL, PANEL + 1, 3, 3), dtype=dtype)
-        T = T.at[pr, lc].set(jnp.where(inpan[..., None, None], rows, 0.0))
-        Td = T[:, :PANEL].transpose(0, 2, 1, 3).reshape(3 * PANEL, 3 * PANEL)
+        rhs = (yp - jnp.sum(acc, axis=1)).reshape(-1)
         prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
         active = jnp.repeat(prow < n, 3)
-        Td = Td + jnp.where(active, 0.0, 1.0) * jnp.eye(3 * PANEL, dtype=dtype)
-        xp = jax.scipy.linalg.solve_triangular(
-            Td, jnp.where(active, rhs.reshape(-1), 0.0), lower=False)
+        xp = ds.Tinv[j] @ jnp.where(active, rhs, 0.0)
         xb = jax.lax.dynamic_update_slice_in_dim(
             xb, xp.reshape(PANEL, 3), p0, 0)
         return xb, None
@@ -669,6 +707,9 @@ class IncrementalSolver:
         self.steps_done = 0
         self._batch_serial = 0
         self._pending: deque = deque()
+        # panels whose R rows changed since their cached inverse was built
+        self._dirty_panels: set = set(range(
+            self.cfg.node_capacity // self.cfg.panel_nodes))
 
     # ---------------------------------------------------------------
 
@@ -733,6 +774,9 @@ class IncrementalSolver:
         self.node_num = g.nnodes
         self.last_path = "batch"
         self._batch_serial += 1
+        # every panel's cached inverse is stale after a fresh factorization
+        self._dirty_panels = set(range(
+            self.cfg.node_capacity // self.cfg.panel_nodes))
         return info
 
     def solve(self, g: FactorGraph) -> BatchInfo:
@@ -805,6 +849,12 @@ class IncrementalSolver:
         ffc = jnp.asarray(plan.fringe_fc)
         K = self.cfg.new_factor_capacity
 
+        # track panels dirtied by this step's frontal scatter
+        PANEL = self.cfg.panel_nodes
+        NPAN = self.cfg.node_capacity // PANEL
+        F = plan.ints[: plan.m]  # F_pos segment leads the packed vector
+        self._dirty_panels.update(int(p) // PANEL for p in F)
+
         if plan.naffected <= self.cfg.small_path_max and not plan.fringe_overflow:
             self.last_path = "fast"
             self.ds, stats = inc_step_fast(
@@ -814,12 +864,18 @@ class IncrementalSolver:
                 delta_theta=float(self.cfg.delta_theta))
         else:
             self.last_path = "full"
+            dirty = sorted(self._dirty_panels)
+            DP = 8 if len(dirty) <= 8 else NPAN
+            dl = np.full(DP, NPAN, dtype=np.int32)
+            dl[: len(dirty)] = dirty[:DP]
             self.ds, stats = inc_step_full(
                 self.ds, ints, floats, maps, ffc,
+                jnp.asarray(dl), jnp.int32(min(len(dirty), DP)),
                 MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
-                PANEL=self.cfg.panel_nodes,
+                PANEL=PANEL, DP=DP,
                 delta_xy=float(self.cfg.delta_xy),
                 delta_theta=float(self.cfg.delta_theta))
+            self._dirty_panels.clear()
 
         self.steps_done += 1
 

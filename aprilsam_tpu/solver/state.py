@@ -62,6 +62,12 @@ class DeviceState(NamedTuple):
     chi2_log: jax.Array      # [LOGCAP]
     log_ptr: jax.Array       # int32 scalar
 
+    # --- cached inverses of the panel diagonal triangles of R ---
+    # [NPAN, 3*PANEL, 3*PANEL]; the full-path back-substitution multiplies
+    # by these instead of running sequential triangular solves.  Panels
+    # whose rows change are refreshed lazily before the next full solve.
+    Tinv: jax.Array
+
 
 def init_device_state(cfg: SolverConfig) -> DeviceState:
     NCAP = cfg.node_capacity
@@ -95,6 +101,11 @@ def init_device_state(cfg: SolverConfig) -> DeviceState:
         nnodes=jnp.int32(0),
         chi2_log=f(2 * NCAP),
         log_ptr=jnp.int32(0),
+        Tinv=jnp.broadcast_to(
+            jnp.eye(3 * cfg.panel_nodes, dtype=dt),
+            (NCAP // cfg.panel_nodes, 3 * cfg.panel_nodes,
+             3 * cfg.panel_nodes),
+        ),
     )
 
 
