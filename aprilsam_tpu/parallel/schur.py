@@ -156,9 +156,12 @@ def schur_solve(
 ) -> np.ndarray:
     """Distributed Gauss-Newton: returns optimized states [n, 3] (float64).
 
-    Each GN iteration: local assembly over sharded factor tables, local
-    interior elimination, one psum of the separator Schur system, replicated
-    separator solve, local interior back-substitution.
+    The partition may have more blocks than mesh devices (B = k*D): each
+    device vmaps the interior elimination over its k blocks, so block sizes
+    (hence dense interior matrices) stay small while the mesh stays fully
+    utilized.  Each GN iteration: local assembly over sharded factor tables,
+    local interior elimination, one psum of the separator Schur system,
+    replicated separator solve, local interior back-substitution.
     """
     D = part.D
     ni = part.ni_max
@@ -167,6 +170,8 @@ def schur_solve(
     dt = jnp.dtype(dtype)
 
     axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    assert D % ndev == 0, "block count must be a multiple of the mesh size"
 
     @partial(
         shard_map, mesh=mesh,
@@ -174,20 +179,31 @@ def schur_solve(
                   P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     )
-    def gn_step(loc_states, fa, fb, fz, fW, fv, pn, pz, pW):
-        # shard_map gives [1, ...] per-device slices
-        st = loc_states[0]          # [NL, 3] linearization points
-        a = fa[0]
-        b = fb[0]
+    def gn_step_sharded(loc_states, fa, fb, fz, fW, fv, pn, pz, pW):
+        # each device holds [k, ...] blocks; eliminate interiors per block,
+        # sum partial separator systems locally, then psum across devices
+        S_d, c_d = jax.vmap(_interior_schur)(
+            loc_states, fa, fb, fz, fW, fv, pn, pz, pW)
+        S = jax.lax.psum(jnp.sum(S_d, axis=0), axis)
+        c = jax.lax.psum(jnp.sum(c_d, axis=0), axis)
+        S = S + tikhonov * jnp.eye(3 * ns, dtype=dt)
+        ds2 = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
+        Lsep = jnp.linalg.cholesky(S * ds2[:, None] * ds2[None, :])
+        ysep = jax.scipy.linalg.solve_triangular(Lsep, ds2 * c, lower=True)
+        x_S = ds2 * jax.scipy.linalg.solve_triangular(
+            Lsep.T, ysep, lower=False)
+        new = jax.vmap(lambda st, A, B, C, E, F2, G, H, I2: _interior_back(
+            st, A, B, C, E, F2, G, H, I2, x_S))(
+            loc_states, fa, fb, fz, fW, fv, pn, pz, pW)
+        return new
 
+    def _assemble(st, a, b, z, W, valid, pnn, pzz, pWW):
         from ..factors import eval_xyt, eval_xytpos, gn_blocks_xyt
 
-        ev = eval_xyt(st, a, b, fz[0], fW[0])
-        Haa, Hab, Hba, Hbb, ga, gb = gn_blocks_xyt(ev, fW[0])
-        valid = fv[0]
+        ev = eval_xyt(st, a, b, z, W)
+        Haa, Hab, Hba, Hbb, ga, gb = gn_blocks_xyt(ev, W)
         sa = jnp.where(valid, a, NL)
         sb = jnp.where(valid, b, NL)
-
         Ablk = jnp.zeros((NL + 1, NL + 1, 3, 3), dtype=dt)
         Bblk = jnp.zeros((NL + 1, 3), dtype=dt)
         Ablk = Ablk.at[sa, sa].add(Haa)
@@ -196,57 +212,46 @@ def schur_solve(
         Ablk = Ablk.at[sb, sb].add(Hbb)
         Bblk = Bblk.at[sa].add(ga)
         Bblk = Bblk.at[sb].add(gb)
-
-        evp = eval_xytpos(st, pn[0], pz[0], pW[0])
-        gp = jnp.einsum("fij,fj->fi", pW[0], evp.r)
-        # padded xytpos entries have W == 0, so no masking needed beyond index
-        Ablk = Ablk.at[pn[0], pn[0]].add(pW[0])
-        Bblk = Bblk.at[pn[0]].add(gp)
-
+        evp = eval_xytpos(st, pnn, pzz, pWW)
+        gp = jnp.einsum("fij,fj->fi", pWW, evp.r)
+        Ablk = Ablk.at[pnn, pnn].add(pWW)
+        Bblk = Bblk.at[pnn].add(gp)
         dense = Ablk[:NL, :NL].transpose(0, 2, 1, 3).reshape(3 * NL, 3 * NL)
         U = jnp.triu(dense)
         A = U + jnp.triu(dense, 1).T
         B = Bblk[:NL].reshape(3 * NL)
+        return A, B
 
+    def _interior_parts(st, a, b, z, W, valid, pnn, pzz, pWW):
+        A, B = _assemble(st, a, b, z, W, valid, pnn, pzz, pWW)
         nI = 3 * ni
         A_II = A[:nI, :nI] + tikhonov * jnp.eye(nI, dtype=dt)
-        A_IS = A[:nI, nI:]
-        A_SS = A[nI:, nI:]
-        b_I = B[:nI]
-        b_S = B[nI:]
-
-        # local interior elimination (equilibrated chol for float32)
         dvec = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(A_II), 1e-30))
         Ls = jnp.linalg.cholesky(A_II * dvec[:, None] * dvec[None, :])
-        # W = L^-1 A_IS on the equilibrated system
         Wm = jax.scipy.linalg.solve_triangular(
-            Ls, dvec[:, None] * A_IS, lower=True)
-        u_I = jax.scipy.linalg.solve_triangular(Ls, dvec * b_I, lower=True)
+            Ls, dvec[:, None] * A[:nI, nI:], lower=True)
+        u_I = jax.scipy.linalg.solve_triangular(Ls, dvec * B[:nI], lower=True)
+        return A, B, dvec, Ls, Wm, u_I
 
-        S_d = A_SS - Wm.T @ Wm
-        c_d = b_S - Wm.T @ u_I
+    def _interior_schur(st, a, b, z, W, valid, pnn, pzz, pWW):
+        A, B, dvec, Ls, Wm, u_I = _interior_parts(
+            st, a, b, z, W, valid, pnn, pzz, pWW)
+        nI = 3 * ni
+        S_d = A[nI:, nI:] - Wm.T @ Wm
+        c_d = B[nI:] - Wm.T @ u_I
+        return S_d, c_d
 
-        # one all-reduce over ICI for the separator system
-        S = jax.lax.psum(S_d, axis)
-        c = jax.lax.psum(c_d, axis)
-        S = S + tikhonov * jnp.eye(3 * ns, dtype=dt)
-        ds2 = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
-        Lsep = jnp.linalg.cholesky(S * ds2[:, None] * ds2[None, :])
-        ysep = jax.scipy.linalg.solve_triangular(Lsep, ds2 * c, lower=True)
-        x_S = ds2 * jax.scipy.linalg.solve_triangular(
-            Lsep.T, ysep, lower=False)
-
-        # interior back-substitution
+    def _interior_back(st, a, b, z, W, valid, pnn, pzz, pWW, x_S):
+        A, B, dvec, Ls, Wm, u_I = _interior_parts(
+            st, a, b, z, W, valid, pnn, pzz, pWW)
         rhs = u_I - Wm @ x_S
         x_I = dvec * jax.scipy.linalg.solve_triangular(Ls.T, rhs, lower=False)
-
         x = jnp.concatenate([x_I, x_S]).reshape(NL, 3)
         new = st + x
-        new = new.at[:, 2].set(mod2pi(new[:, 2]))
-        return new[None]
+        return new.at[:, 2].set(mod2pi(new[:, 2]))
 
     states = g.state[: g.nnodes].astype(np.float64).copy()
-    jitted = jax.jit(gn_step)
+    jitted = jax.jit(gn_step_sharded)
     args_static = (
         jnp.asarray(part.fa), jnp.asarray(part.fb),
         jnp.asarray(part.fz, dt), jnp.asarray(part.fW, dt),

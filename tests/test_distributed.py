@@ -74,3 +74,20 @@ def _graph_with_states(g, states):
     g2 = copy.deepcopy(g)
     g2.state[: g.nnodes] = states
     return g2
+
+
+def test_schur_many_blocks_per_device():
+    """B = 16 blocks over the 8-device mesh (vmap inside shard_map)."""
+    g = manhattan_world(480, seed=11, closure_prob=0.3)
+    cfg = SolverConfig(node_capacity=1024, factor_capacity=4096,
+                       row_block_capacity=64, gn_iters=2)
+    mono = BatchSolver(cfg)
+    mono.solve(g)
+    chi2_mono = mono.chi2()
+
+    mesh = make_mesh(8)
+    part = partition_graph(g, 16)
+    states = schur_solve(mesh, g, part, gn_iters=2, dtype=np.float64)
+    g2 = _graph_with_states(g, states)
+    chi2_dd = g2.chi2()
+    assert abs(chi2_dd - chi2_mono) / max(chi2_mono, 1e-9) < 1e-5
