@@ -270,14 +270,32 @@ class BatchSolver:
         self._ingested_nodes = g.nnodes
         self._ingested_factors = g.nfactors
 
+    def _use_host(self) -> bool:
+        if self.cfg.batch_backend == "host":
+            return True
+        if self.cfg.batch_backend == "device":
+            return False
+        from .. import native
+
+        return native.available()
+
     def solve(self, g: FactorGraph) -> BatchInfo:
         if g.nnodes == 0 or g.nfactors == 0:
             return BatchInfo(chi2=0.0, spd=True, n=0)  # aprilsam.c:90-91
         self._ingest(g)
         n = g.nnodes
-        self.ds, self.sym, info = run_batch_epoch(
-            self.ds, self.cfg, n, g.ftype[: g.nfactors], g.fnodes[: g.nfactors]
-        )
+        if self._use_host():
+            from .host_batch import host_batch_epoch
+
+            self.ds, self.sym, info = host_batch_epoch(
+                self.ds, self.cfg, n, g.ftype[: g.nfactors],
+                g.fnodes[: g.nfactors], g.fz[: g.nfactors], g.fW[: g.nfactors]
+            )
+        else:
+            self.ds, self.sym, info = run_batch_epoch(
+                self.ds, self.cfg, n, g.ftype[: g.nfactors],
+                g.fnodes[: g.nfactors]
+            )
         return info
 
     def chi2(self) -> float:

@@ -62,13 +62,21 @@ def host_batch_epoch(
     # current states come from the device (one fetch; batches are rare)
     states = np.asarray(ds.state[:nnodes], dtype=np.float64)
 
+    # float64 host epochs need only 1 GN iteration for reference parity, but
+    # honor an explicit gn_iters request (e.g. the distributed-solve tests
+    # compare multi-iteration optima)
+    iters = cfg.gn_iters if cfg.gn_iters is not None else 1
     m_xyt = ftypes == FACTOR_XYT
-    blocks, y, x, new_states, delta, chi2, spd = native.batch_solve(
-        nnodes, states,
-        fnodes[m_xyt, 0], fnodes[m_xyt, 1], fz[m_xyt], fW[m_xyt],
-        fnodes[~m_xyt, 0], fz[~m_xyt], fW[~m_xyt],
-        order, BCAP, patterns, nnz, cfg.tikhonov,
-    )
+    cur = states
+    for _ in range(max(1, iters)):
+        blocks, y, x, new_states, delta, chi2, spd = native.batch_solve(
+            nnodes, cur,
+            fnodes[m_xyt, 0], fnodes[m_xyt, 1], fz[m_xyt], fW[m_xyt],
+            fnodes[~m_xyt, 0], fz[~m_xyt], fW[~m_xyt],
+            order, BCAP, patterns, nnz, cfg.tikhonov,
+        )
+        states = cur  # linearization points of the final iteration
+        cur = new_states
 
     # build the SymbolicState mirror for the incremental engine
     pos = np.empty(nnodes, dtype=np.int32)

@@ -1,0 +1,105 @@
+"""Native C runtime vs the pure-python implementations."""
+
+import numpy as np
+import pytest
+
+from aprilsam_tpu import native
+from aprilsam_tpu.datasets import manhattan_world
+from aprilsam_tpu.graph import FACTOR_XYT
+from aprilsam_tpu.solver import symbolic as sym_mod
+from aprilsam_tpu.solver.host_batch import _adjacency_csr
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no C toolchain")
+
+
+def _graph(n=300, seed=4):
+    return manhattan_world(n, seed=seed, closure_prob=0.35)
+
+
+def test_order_md_is_valid_permutation_with_newest_last():
+    g = _graph()
+    n = g.nnodes
+    ptr, idx = _adjacency_csr(n, g.ftype[: g.nfactors], g.fnodes[: g.nfactors])
+    order = native.order_md(n, ptr, idx)
+    assert sorted(order.tolist()) == list(range(n))
+    assert order[-1] == n - 1  # newest-node-last constraint (aprilsam.c:1020)
+
+
+def test_symbolic_matches_python():
+    """C block symbolic factorization == python row-merge elimination for the
+    same ordering (patterns and parents)."""
+    g = _graph(200, seed=9)
+    n = g.nnodes
+    ptr, idx = _adjacency_csr(n, g.ftype[: g.nfactors], g.fnodes[: g.nfactors])
+    order = native.order_md(n, ptr, idx)
+
+    adj = sym_mod.build_adjacency(n, g.ftype[: g.nfactors], g.fnodes[: g.nfactors])
+    sym = sym_mod.build_symbolic(n, adj, order)
+
+    patterns, nnz, parents, maxnnz = native.symbolic(n, ptr, idx, order, 64)
+    assert maxnnz == sym.max_row
+    np.testing.assert_array_equal(parents, sym.parents)
+    for p in range(n):
+        np.testing.assert_array_equal(patterns[p, : nnz[p]], sym.patterns[p])
+
+
+def test_native_batch_matches_dense_solve():
+    """C batch epoch == dense float64 normal-equation solve."""
+    g = _graph(150, seed=13)
+    n = g.nnodes
+    ptr, idx = _adjacency_csr(n, g.ftype[: g.nfactors], g.fnodes[: g.nfactors])
+    order = native.order_md(n, ptr, idx)
+    patterns, nnz, parents, _ = native.symbolic(n, ptr, idx, order, 64)
+
+    m = g.ftype[: g.nfactors] == FACTOR_XYT
+    fn = g.fnodes[: g.nfactors]
+    blocks, y, x, new_states, delta, chi2, spd = native.batch_solve(
+        n, g.state[:n],
+        fn[m, 0], fn[m, 1], g.fz[: g.nfactors][m], g.fW[: g.nfactors][m],
+        fn[~m, 0], g.fz[: g.nfactors][~m], g.fW[: g.nfactors][~m],
+        order, 64, patterns, nnz, 1e-4,
+    )
+    assert spd
+
+    # dense reference: R^T R must equal the assembled normal equations
+    pos = np.empty(n, dtype=np.int64)
+    pos[order] = np.arange(n)
+    R = np.zeros((3 * n, 3 * n))
+    for p in range(n):
+        for s in range(nnz[p]):
+            c = patterns[p, s]
+            R[3 * p : 3 * p + 3, 3 * c : 3 * c + 3] = blocks[p, s]
+    # assemble A in f64 at the same linearization points
+    import jax.numpy as jnp
+
+    from aprilsam_tpu.factors import eval_xyt, gn_blocks_xyt
+
+    A = np.zeros((3 * n, 3 * n))
+    B = np.zeros(3 * n)
+    lp = jnp.asarray(g.state[:n])
+    for f in range(g.nfactors):
+        a, b = (int(v) for v in g.fnodes[f])
+        W = g.fW[f]
+        if b >= 0:
+            ev = eval_xyt(lp, jnp.asarray([a]), jnp.asarray([b]),
+                          jnp.asarray(g.fz[f][None]), jnp.asarray(W[None]))
+            Haa, Hab, Hba, Hbb, ga, gb = gn_blocks_xyt(ev, jnp.asarray(W[None]))
+            pa, pb = 3 * pos[a], 3 * pos[b]
+            A[pa:pa+3, pa:pa+3] += np.asarray(Haa[0])
+            A[pa:pa+3, pb:pb+3] += np.asarray(Hab[0])
+            A[pb:pb+3, pa:pa+3] += np.asarray(Hba[0])
+            A[pb:pb+3, pb:pb+3] += np.asarray(Hbb[0])
+            B[pa:pa+3] += np.asarray(ga[0])
+            B[pb:pb+3] += np.asarray(gb[0])
+        else:
+            pa = 3 * pos[a]
+            r = g.fz[f] - g.state[a]
+            r[2] = (r[2] + np.pi) % (2 * np.pi) - np.pi
+            A[pa:pa+3, pa:pa+3] += W
+            B[pa:pa+3] += W @ r
+    U = np.triu(A)
+    A = U + np.triu(A, 1).T + 1e-4 * np.eye(3 * n)
+    np.testing.assert_allclose(R.T @ R, A, atol=1e-7 * np.abs(A).max())
+
+    xref = np.linalg.solve(A, B)
+    np.testing.assert_allclose(x, xref, atol=1e-8 * max(1, np.abs(xref).max()))
