@@ -1,27 +1,29 @@
 """Distributed batch solve by keyframe-block domain decomposition.
 
 The SLAM analogue of sequence/context parallelism (SURVEY.md section 2.7):
-the trajectory is partitioned into D contiguous keyframe blocks; each device
-owns one block, eliminates its interior unknowns locally, and contributes a
-Schur complement on the shared separator (nodes touched by cross-block
-factors).  One psum over the ICI reduces the separator system; it is solved
-replicated (it is small), and interiors back-substitute locally — an exact
-algebraic decomposition of the global Gauss-Newton normal equations:
+the trajectory is partitioned into B contiguous keyframe blocks spread over a
+D-device mesh (B = k*D; each device vmaps its k blocks); each block
+eliminates its interior unknowns locally and contributes a Schur complement
+on the separator (nodes touched by cross-block factors).  One psum over the
+ICI reduces the separator system; it is solved replicated, and interiors
+back-substitute locally — an exact algebraic decomposition of the global
+Gauss-Newton normal equations:
 
-    [A_II  A_IS] [x_I]   [b_I]         S = sum_d (A_SS_d - A_SI A_II^-1 A_IS)
-    [A_SI  A_SS] [x_S] = [b_S]   =>    S x_S = sum_d (b_S_d - A_SI A_II^-1 b_I)
+    [A_II  A_IS] [x_I]   [b_I]         S = sum_b (A_SS_b - A_SI A_II^-1 A_IS)
+    [A_SI  A_SS] [x_S] = [b_S]   =>    S x_S = sum_b (b_S_b - A_SI A_II^-1 b_I)
                                        x_I = A_II^-1 (b_I - A_IS x_S)
 
-Communication is a single psum of the [ns, ns] separator Schur complement
-plus its [ns] right-hand side per Gauss-Newton iteration; everything else is
-device-local dense math on the MXU.
+Each block works in a LOCAL index space of [interior | its own separator
+neighborhood] — dense local matrices stay small even when the global
+separator is large; local Schur contributions scatter-add into the global
+separator system before the all-reduce.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -29,40 +31,46 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..graph import FactorGraph, FACTOR_XYT, FACTOR_XYTPOS
+from ..graph import FactorGraph, FACTOR_XYT
 from ..geometry import mod2pi
 
 
 @dataclass
 class Partition:
-    """Host-side partition of a FactorGraph into D trajectory blocks."""
+    """Host-side partition of a FactorGraph into B trajectory blocks."""
 
-    D: int
-    ni_max: int                 # padded interior nodes per device
-    ns: int                     # separator nodes (global)
-    fmax: int                   # padded xyt factors per device
-    pmax: int                   # padded xytpos factors per device
+    B: int
+    ni_max: int                 # padded interior nodes per block
+    ns: int                     # global separator nodes
+    nsl: int                    # padded per-block local separator size
+    fmax: int
+    pmax: int
     sep_nodes: np.ndarray       # [ns] node ids
-    interiors: List[np.ndarray] # per-device node ids
-    local_of_node: np.ndarray   # [n] local index: interiors 0..ni-1, sep ni_max+j
-    device_of_node: np.ndarray  # [n] owning device (separator: -1)
-    # padded per-device factor tables in LOCAL index space
-    fa: np.ndarray              # [D, fmax]
-    fb: np.ndarray              # [D, fmax]
-    fz: np.ndarray              # [D, fmax, 3]
-    fW: np.ndarray              # [D, fmax, 3, 3]
-    fvalid: np.ndarray          # [D, fmax]
-    pn: np.ndarray              # [D, pmax]
-    pz: np.ndarray              # [D, pmax, 3]
-    pW: np.ndarray              # [D, pmax, 3, 3]
-    pvalid: np.ndarray          # [D, pmax]
+    interiors: List[np.ndarray] # per-block node ids
+    sep_map: np.ndarray         # [B, nsl] global separator slot (pad = ns)
+    # padded per-block factor tables in LOCAL index space
+    # (interior i -> i, local separator j -> ni_max + j)
+    fa: np.ndarray              # [B, fmax]
+    fb: np.ndarray
+    fz: np.ndarray              # [B, fmax, 3]
+    fW: np.ndarray              # [B, fmax, 3, 3]
+    fvalid: np.ndarray          # [B, fmax]
+    pn: np.ndarray              # [B, pmax]
+    pz: np.ndarray
+    pW: np.ndarray
+    pvalid: np.ndarray
+
+    # backwards-compatible alias (older tests used part.D)
+    @property
+    def D(self) -> int:
+        return self.B
 
 
-def partition_graph(g: FactorGraph, D: int) -> Partition:
+def partition_graph(g: FactorGraph, B: int) -> Partition:
     """Contiguous keyframe-block partition; separator = endpoints of
-    cross-block factors."""
+    cross-block factors; each block sees only its own separator slice."""
     n = g.nnodes
-    block_of = np.minimum(np.arange(n) * D // n, D - 1)
+    block_of = np.minimum(np.arange(n) * B // n, B - 1)
 
     is_sep = np.zeros(n, dtype=bool)
     for f in range(g.nfactors):
@@ -73,76 +81,100 @@ def partition_graph(g: FactorGraph, D: int) -> Partition:
 
     sep_nodes = np.where(is_sep)[0].astype(np.int32)
     ns = len(sep_nodes)
+    sep_slot = np.full(n, -1, dtype=np.int32)
+    sep_slot[sep_nodes] = np.arange(ns, dtype=np.int32)
+
     interiors = [
         np.where((block_of == d) & ~is_sep)[0].astype(np.int32)
-        for d in range(D)
+        for d in range(B)
     ]
-    ni_max = max((len(i) for i in interiors), default=0)
-    ni_max = max(ni_max, 1)
+    ni_max = max(1, max((len(i) for i in interiors), default=0))
+    int_local = np.full(n, -1, dtype=np.int32)
+    for ids in interiors:
+        int_local[ids] = np.arange(len(ids), dtype=np.int32)
 
-    local_of_node = np.full(n, -1, dtype=np.int32)
-    device_of_node = np.full(n, -1, dtype=np.int32)
-    for d, ids in enumerate(interiors):
-        local_of_node[ids] = np.arange(len(ids), dtype=np.int32)
-        device_of_node[ids] = d
-    local_of_node[sep_nodes] = ni_max + np.arange(ns, dtype=np.int32)
+    # assign factors to the block of their first endpoint; collect each
+    # block's separator neighborhood
+    per_b_xyt: List[List[int]] = [[] for _ in range(B)]
+    per_b_pos: List[List[int]] = [[] for _ in range(B)]
+    sep_local_sets: List[dict] = [dict() for _ in range(B)]
 
-    # assign each factor to the block of its minimum endpoint; factors whose
-    # endpoints are all separator go to the block of the first endpoint
-    per_dev_xyt: List[List[int]] = [[] for _ in range(D)]
-    per_dev_pos: List[List[int]] = [[] for _ in range(D)]
+    def local_sep(d: int, node: int) -> int:
+        m = sep_local_sets[d]
+        s = int(sep_slot[node])
+        if s not in m:
+            m[s] = len(m)
+        return m[s]
+
     for f in range(g.nfactors):
         a, b = (int(v) for v in g.fnodes[f])
         d = int(block_of[a])
         if g.ftype[f] == FACTOR_XYT:
-            per_dev_xyt[d].append(f)
+            per_b_xyt[d].append(f)
         else:
-            per_dev_pos[d].append(f)
+            per_b_pos[d].append(f)
+        for e in (a, b):
+            if e >= 0 and is_sep[e]:
+                local_sep(d, e)
 
-    fmax = max(1, max(len(v) for v in per_dev_xyt))
-    pmax = max(1, max(len(v) for v in per_dev_pos))
+    nsl = max(1, max(len(m) for m in sep_local_sets))
+    fmax = max(1, max(len(v) for v in per_b_xyt))
+    pmax = max(1, max(len(v) for v in per_b_pos))
 
-    fa = np.zeros((D, fmax), dtype=np.int32)
-    fb = np.zeros((D, fmax), dtype=np.int32)
-    fz = np.zeros((D, fmax, 3))
-    fW = np.zeros((D, fmax, 3, 3))
-    fvalid = np.zeros((D, fmax), dtype=bool)
-    pn = np.zeros((D, pmax), dtype=np.int32)
-    pz = np.zeros((D, pmax, 3))
-    pW = np.zeros((D, pmax, 3, 3))
-    pvalid = np.zeros((D, pmax), dtype=bool)
-    for d in range(D):
-        for i, f in enumerate(per_dev_xyt[d]):
+    sep_map = np.full((B, nsl), ns, dtype=np.int32)
+    for d, m in enumerate(sep_local_sets):
+        for gs, ls in m.items():
+            sep_map[d, ls] = gs
+
+    def loc_of(d: int, node: int) -> int:
+        if is_sep[node]:
+            return ni_max + sep_local_sets[d][int(sep_slot[node])]
+        return int(int_local[node])
+
+    fa = np.zeros((B, fmax), dtype=np.int32)
+    fb = np.zeros((B, fmax), dtype=np.int32)
+    fz = np.zeros((B, fmax, 3))
+    fW = np.zeros((B, fmax, 3, 3))
+    fvalid = np.zeros((B, fmax), dtype=bool)
+    pn = np.zeros((B, pmax), dtype=np.int32)
+    pz = np.zeros((B, pmax, 3))
+    pW = np.zeros((B, pmax, 3, 3))
+    pvalid = np.zeros((B, pmax), dtype=bool)
+    for d in range(B):
+        for i, f in enumerate(per_b_xyt[d]):
             a, b = (int(v) for v in g.fnodes[f])
-            fa[d, i] = local_of_node[a]
-            fb[d, i] = local_of_node[b]
+            fa[d, i] = loc_of(d, a)
+            fb[d, i] = loc_of(d, b)
             fz[d, i] = g.fz[f]
             fW[d, i] = g.fW[f]
             fvalid[d, i] = True
-        for i, f in enumerate(per_dev_pos[d]):
+        for i, f in enumerate(per_b_pos[d]):
             a = int(g.fnodes[f][0])
-            pn[d, i] = local_of_node[a]
+            pn[d, i] = loc_of(d, a)
             pz[d, i] = g.fz[f]
             pW[d, i] = g.fW[f]
             pvalid[d, i] = True
 
     return Partition(
-        D=D, ni_max=ni_max, ns=ns, fmax=fmax, pmax=pmax,
-        sep_nodes=sep_nodes, interiors=interiors,
-        local_of_node=local_of_node, device_of_node=device_of_node,
+        B=B, ni_max=ni_max, ns=ns, nsl=nsl, fmax=fmax, pmax=pmax,
+        sep_nodes=sep_nodes, interiors=interiors, sep_map=sep_map,
         fa=fa, fb=fb, fz=fz, fW=fW, fvalid=fvalid,
         pn=pn, pz=pz, pW=pW, pvalid=pvalid,
     )
 
 
 def _local_states(part: Partition, states: np.ndarray, dtype) -> np.ndarray:
-    """[D, ni_max + ns, 3] per-device local state table (interiors + the
-    replicated separator)."""
-    D, ni, ns = part.D, part.ni_max, part.ns
-    out = np.zeros((D, ni + ns, 3), dtype=dtype)
+    """[B, ni_max + nsl, 3] per-block local state tables."""
+    B, ni = part.B, part.ni_max
+    out = np.zeros((B, ni + part.nsl, 3), dtype=dtype)
+    if part.ns:
+        sep_states = states[part.sep_nodes]
     for d, ids in enumerate(part.interiors):
         out[d, : len(ids)] = states[ids]
-    out[:, ni:] = states[part.sep_nodes][None]
+        if part.ns:
+            valid = part.sep_map[d] < part.ns
+            k = int(np.sum(valid))
+            out[d, ni : ni + k] = sep_states[part.sep_map[d][valid]]
     return out
 
 
@@ -154,48 +186,17 @@ def schur_solve(
     tikhonov: float = 1e-4,
     dtype=np.float32,
 ) -> np.ndarray:
-    """Distributed Gauss-Newton: returns optimized states [n, 3] (float64).
-
-    The partition may have more blocks than mesh devices (B = k*D): each
-    device vmaps the interior elimination over its k blocks, so block sizes
-    (hence dense interior matrices) stay small while the mesh stays fully
-    utilized.  Each GN iteration: local assembly over sharded factor tables,
-    local interior elimination, one psum of the separator Schur system,
-    replicated separator solve, local interior back-substitution.
-    """
-    D = part.D
+    """Distributed Gauss-Newton: returns optimized states [n, 3] (float64)."""
+    B = part.B
     ni = part.ni_max
     ns = max(part.ns, 1)
-    NL = ni + ns
+    nsl = part.nsl
+    NL = ni + nsl
     dt = jnp.dtype(dtype)
 
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    assert D % ndev == 0, "block count must be a multiple of the mesh size"
-
-    @partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
-    )
-    def gn_step_sharded(loc_states, fa, fb, fz, fW, fv, pn, pz, pW):
-        # each device holds [k, ...] blocks; eliminate interiors per block,
-        # sum partial separator systems locally, then psum across devices
-        S_d, c_d = jax.vmap(_interior_schur)(
-            loc_states, fa, fb, fz, fW, fv, pn, pz, pW)
-        S = jax.lax.psum(jnp.sum(S_d, axis=0), axis)
-        c = jax.lax.psum(jnp.sum(c_d, axis=0), axis)
-        S = S + tikhonov * jnp.eye(3 * ns, dtype=dt)
-        ds2 = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
-        Lsep = jnp.linalg.cholesky(S * ds2[:, None] * ds2[None, :])
-        ysep = jax.scipy.linalg.solve_triangular(Lsep, ds2 * c, lower=True)
-        x_S = ds2 * jax.scipy.linalg.solve_triangular(
-            Lsep.T, ysep, lower=False)
-        new = jax.vmap(lambda st, A, B, C, E, F2, G, H, I2: _interior_back(
-            st, A, B, C, E, F2, G, H, I2, x_S))(
-            loc_states, fa, fb, fz, fW, fv, pn, pz, pW)
-        return new
+    assert B % ndev == 0, "block count must be a multiple of the mesh size"
 
     def _assemble(st, a, b, z, W, valid, pnn, pzz, pWW):
         from ..factors import eval_xyt, eval_xytpos, gn_blocks_xyt
@@ -218,52 +219,87 @@ def schur_solve(
         Bblk = Bblk.at[pnn].add(gp)
         dense = Ablk[:NL, :NL].transpose(0, 2, 1, 3).reshape(3 * NL, 3 * NL)
         U = jnp.triu(dense)
-        A = U + jnp.triu(dense, 1).T
-        B = Bblk[:NL].reshape(3 * NL)
-        return A, B
+        return U + jnp.triu(dense, 1).T, Bblk[:NL].reshape(3 * NL)
 
     def _interior_parts(st, a, b, z, W, valid, pnn, pzz, pWW):
-        A, B = _assemble(st, a, b, z, W, valid, pnn, pzz, pWW)
+        A, Bv = _assemble(st, a, b, z, W, valid, pnn, pzz, pWW)
         nI = 3 * ni
         A_II = A[:nI, :nI] + tikhonov * jnp.eye(nI, dtype=dt)
         dvec = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(A_II), 1e-30))
         Ls = jnp.linalg.cholesky(A_II * dvec[:, None] * dvec[None, :])
         Wm = jax.scipy.linalg.solve_triangular(
             Ls, dvec[:, None] * A[:nI, nI:], lower=True)
-        u_I = jax.scipy.linalg.solve_triangular(Ls, dvec * B[:nI], lower=True)
-        return A, B, dvec, Ls, Wm, u_I
+        u_I = jax.scipy.linalg.solve_triangular(Ls, dvec * Bv[:nI], lower=True)
+        return A, Bv, dvec, Ls, Wm, u_I
 
-    def _interior_schur(st, a, b, z, W, valid, pnn, pzz, pWW):
-        A, B, dvec, Ls, Wm, u_I = _interior_parts(
+    def _block_schur(st, a, b, z, W, valid, pnn, pzz, pWW, smap):
+        A, Bv, dvec, Ls, Wm, u_I = _interior_parts(
             st, a, b, z, W, valid, pnn, pzz, pWW)
         nI = 3 * ni
-        S_d = A[nI:, nI:] - Wm.T @ Wm
-        c_d = B[nI:] - Wm.T @ u_I
-        return S_d, c_d
+        S_loc = A[nI:, nI:] - Wm.T @ Wm          # [3nsl, 3nsl]
+        c_loc = Bv[nI:] - Wm.T @ u_I             # [3nsl]
+        # scatter into the global separator system
+        gix = (3 * jnp.where(smap < ns, smap, ns)[:, None]
+               + jnp.arange(3)[None, :]).reshape(-1)          # [3nsl]
+        S = jnp.zeros((3 * ns + 3, 3 * ns + 3), dtype=dt)
+        S = S.at[gix[:, None], gix[None, :]].add(S_loc, mode="drop")
+        c = jnp.zeros(3 * ns + 3, dtype=dt).at[gix].add(c_loc, mode="drop")
+        return S[: 3 * ns, : 3 * ns], c[: 3 * ns]
 
-    def _interior_back(st, a, b, z, W, valid, pnn, pzz, pWW, x_S):
-        A, B, dvec, Ls, Wm, u_I = _interior_parts(
+    def _block_back(st, a, b, z, W, valid, pnn, pzz, pWW, smap, x_S):
+        A, Bv, dvec, Ls, Wm, u_I = _interior_parts(
             st, a, b, z, W, valid, pnn, pzz, pWW)
-        rhs = u_I - Wm @ x_S
+        gix = (3 * jnp.clip(smap, 0, ns - 1)[:, None]
+               + jnp.arange(3)[None, :]).reshape(-1)
+        xs_loc = jnp.where(
+            jnp.repeat(smap < ns, 3), x_S[gix], 0.0)          # [3nsl]
+        rhs = u_I - Wm @ xs_loc
         x_I = dvec * jax.scipy.linalg.solve_triangular(Ls.T, rhs, lower=False)
-        x = jnp.concatenate([x_I, x_S]).reshape(NL, 3)
-        new = st + x
-        return new.at[:, 2].set(mod2pi(new[:, 2]))
+        new_int = st[:ni] + x_I.reshape(ni, 3)
+        return new_int.at[:, 2].set(mod2pi(new_int[:, 2]))
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis),) * 10,
+        out_specs=(P(axis), P()),
+    )
+    def gn_step(loc_states, fa, fb, fz, fW, fv, pn, pz, pW, smap):
+        S_b, c_b = jax.vmap(_block_schur)(
+            loc_states, fa, fb, fz, fW, fv, pn, pz, pW, smap)
+        S = jax.lax.psum(jnp.sum(S_b, axis=0), axis)
+        c = jax.lax.psum(jnp.sum(c_b, axis=0), axis)
+        S = S + tikhonov * jnp.eye(3 * ns, dtype=dt)
+        ds2 = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
+        Lsep = jnp.linalg.cholesky(S * ds2[:, None] * ds2[None, :])
+        ysep = jax.scipy.linalg.solve_triangular(Lsep, ds2 * c, lower=True)
+        x_S = ds2 * jax.scipy.linalg.solve_triangular(
+            Lsep.T, ysep, lower=False)
+        new_int = jax.vmap(
+            lambda st, a, b, z, W, v, pnn, pzz, pWW, sm: _block_back(
+                st, a, b, z, W, v, pnn, pzz, pWW, sm, x_S))(
+            loc_states, fa, fb, fz, fW, fv, pn, pz, pW, smap)
+        return new_int, x_S
 
     states = g.state[: g.nnodes].astype(np.float64).copy()
-    jitted = jax.jit(gn_step_sharded)
+    jitted = jax.jit(gn_step)
     args_static = (
         jnp.asarray(part.fa), jnp.asarray(part.fb),
         jnp.asarray(part.fz, dt), jnp.asarray(part.fW, dt),
         jnp.asarray(part.fvalid),
         jnp.asarray(part.pn), jnp.asarray(part.pz, dt),
         jnp.asarray(part.pW, dt),
+        jnp.asarray(part.sep_map),
     )
+    from ..geometry import np_mod2pi
+
     for _ in range(gn_iters):
         loc = jnp.asarray(_local_states(part, states, dtype))
-        out = np.asarray(jax.device_get(jitted(loc, *args_static)))
-        # write back: interiors from their device, separator from device 0
+        new_int, x_S = jax.device_get(jitted(loc, *args_static))
         for d, ids in enumerate(part.interiors):
-            states[ids] = out[d, : len(ids)].astype(np.float64)
-        states[part.sep_nodes] = out[0, part.ni_max :].astype(np.float64)[: part.ns]
+            states[ids] = new_int[d, : len(ids)].astype(np.float64)
+        if part.ns:
+            sep = states[part.sep_nodes] + np.asarray(
+                x_S, dtype=np.float64).reshape(ns, 3)[: part.ns]
+            sep[:, 2] = np_mod2pi(sep[:, 2])
+            states[part.sep_nodes] = sep
     return states

@@ -1,0 +1,92 @@
+"""Scaling benchmark: block-partitioned distributed solve on a synthetic
+Manhattan-world graph (BASELINE.json configs 4-5).
+
+Measures the keyframe-block Schur-complement solve at several mesh sizes and
+reports scaling efficiency.  On CPU it uses the virtual 8-device mesh (the
+standard JAX fake-multi-device pattern); on real hardware the same code runs
+over the physical mesh.
+
+Usage: python bench_scaling.py [--poses 20000] [--blocks 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--poses", type=int, default=20000)
+    ap.add_argument("--blocks", type=int, default=64)
+    ap.add_argument("--closure_prob", type=float, default=0.12)
+    ap.add_argument("--gn_iters", type=int, default=2)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from aprilsam_tpu.utils import enable_compilation_cache, setup_precision
+
+    enable_compilation_cache()
+    setup_precision()
+
+    platform = jax.devices()[0].platform
+    dtype = np.float64 if platform == "cpu" else np.float32
+    if platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    from aprilsam_tpu.datasets import manhattan_world
+    from aprilsam_tpu.parallel.dist import make_mesh
+    from aprilsam_tpu.parallel.schur import partition_graph, schur_solve
+
+    print(f"generating {args.poses}-pose Manhattan world ...", flush=True)
+    g = manhattan_world(args.poses, seed=0, closure_prob=args.closure_prob,
+                        block=20)
+    c0 = g.chi2()
+    print(f"nodes={g.nnodes} factors={g.nfactors} initial chi2={c0:.1f}",
+          flush=True)
+
+    part = partition_graph(g, args.blocks)
+    print(f"partition: {args.blocks} blocks, interior_max={part.ni_max}, "
+          f"separator={part.ns}", flush=True)
+
+    ndev_all = len(jax.devices())
+    results = {}
+    for ndev in sorted({1, max(2, ndev_all // 4), ndev_all}):
+        if args.blocks % ndev:
+            continue
+        mesh = make_mesh(ndev)
+        # warm (compile)
+        schur_solve(mesh, g, part, gn_iters=1, dtype=dtype)
+        t0 = time.perf_counter()
+        states = schur_solve(mesh, g, part, gn_iters=args.gn_iters,
+                             dtype=dtype)
+        dt = time.perf_counter() - t0
+        import copy
+
+        g2 = copy.deepcopy(g)
+        g2.state[: g.nnodes] = states
+        c = g2.chi2()
+        results[ndev] = dt
+        print(f"ndev={ndev}: {dt:.2f}s  chi2 {c0:.1f} -> {c:.1f}", flush=True)
+
+    if 1 in results and ndev_all in results:
+        eff = results[1] / (results[ndev_all] * ndev_all)
+        print(f"scaling efficiency at {ndev_all} devices: {eff:.2f}",
+              flush=True)
+        if args.json:
+            print(json.dumps({
+                "metric": "schur_scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": f"(poses={args.poses}, devices={ndev_all})",
+                "vs_baseline": round(eff / 0.7, 3),
+            }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
