@@ -238,13 +238,9 @@ def schur_solve(
         nI = 3 * ni
         S_loc = A[nI:, nI:] - Wm.T @ Wm          # [3nsl, 3nsl]
         c_loc = Bv[nI:] - Wm.T @ u_I             # [3nsl]
-        # scatter into the global separator system
         gix = (3 * jnp.where(smap < ns, smap, ns)[:, None]
                + jnp.arange(3)[None, :]).reshape(-1)          # [3nsl]
-        S = jnp.zeros((3 * ns + 3, 3 * ns + 3), dtype=dt)
-        S = S.at[gix[:, None], gix[None, :]].add(S_loc, mode="drop")
-        c = jnp.zeros(3 * ns + 3, dtype=dt).at[gix].add(c_loc, mode="drop")
-        return S[: 3 * ns, : 3 * ns], c[: 3 * ns]
+        return S_loc, c_loc, gix
 
     def _block_back(st, a, b, z, W, valid, pnn, pzz, pWW, smap, x_S):
         A, Bv, dvec, Ls, Wm, u_I = _interior_parts(
@@ -264,10 +260,16 @@ def schur_solve(
         out_specs=(P(axis), P()),
     )
     def gn_step(loc_states, fa, fb, fz, fW, fv, pn, pz, pW, smap):
-        S_b, c_b = jax.vmap(_block_schur)(
+        S_loc, c_loc, gix = jax.vmap(_block_schur)(
             loc_states, fa, fb, fz, fW, fv, pn, pz, pW, smap)
-        S = jax.lax.psum(jnp.sum(S_b, axis=0), axis)
-        c = jax.lax.psum(jnp.sum(c_b, axis=0), axis)
+        # one scatter-add of all local contributions into the global
+        # separator system (indices only; no per-block dense copies)
+        S_dev = jnp.zeros((3 * ns + 3, 3 * ns + 3), dtype=dt).at[
+            gix[:, :, None], gix[:, None, :]].add(S_loc, mode="drop")
+        c_dev = jnp.zeros(3 * ns + 3, dtype=dt).at[gix].add(
+            c_loc, mode="drop")
+        S = jax.lax.psum(S_dev[: 3 * ns, : 3 * ns], axis)
+        c = jax.lax.psum(c_dev[: 3 * ns], axis)
         S = S + tikhonov * jnp.eye(3 * ns, dtype=dt)
         ds2 = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
         Lsep = jnp.linalg.cholesky(S * ds2[:, None] * ds2[None, :])

@@ -4,7 +4,13 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Baseline (BASELINE.md): the C reference replays M3500 incrementally at a
-1.41 ms mean step => ~711 poses/s on one x86 core, final chi2 ~68.96-69.91.
+1.41 ms mean step => ~711 poses/s on one x86 core, final chi2 in the
+68.96 - 69.91 band (the reference trajectory is machine-dependent through
+its wall-clock batch gate; both its endpoints sit in that band).
+
+The replay runs in deferred mode: odometry seeding and per-step chi2 stay on
+device, policy counters are read back with an 8-step lag, so throughput is
+bounded by compute rather than the host<->device round-trip.
 """
 
 from __future__ import annotations
@@ -17,13 +23,16 @@ import numpy as np
 
 BASELINE_POSES_PER_SEC = 711.0
 CHI2_BAND = (60.0, 80.0)  # sanity band around the reference optimum ~69
+M3500 = "/root/reference/data/M3500.txt"
 
 
 def main() -> int:
     import jax
 
-    from aprilsam_tpu.utils import enable_compilation_cache
+    from aprilsam_tpu.utils import enable_compilation_cache, setup_precision
+
     enable_compilation_cache()
+    setup_precision()
 
     platform = jax.devices()[0].platform
     use_x64 = platform == "cpu"
@@ -34,7 +43,7 @@ def main() -> int:
     from aprilsam_tpu.replay import Replay
     from aprilsam_tpu.solver import SolverConfig
 
-    loaded = load_g2o_text("/root/reference/data/M3500.txt")
+    loaded = load_g2o_text(M3500)
 
     cfg = SolverConfig(
         dtype=np.float64 if use_x64 else np.float32,
@@ -42,19 +51,24 @@ def main() -> int:
         factor_capacity=8192,
         row_block_capacity=96,
         panel_nodes=128,
+        wallclock_gate=False,   # deterministic trajectory (matches the
+                                # published 69.91 semantics, BASELINE.md)
+        policy_lag=8,
     )
 
-    # warmup pass compiles every (bucket) specialization on a short prefix
-    warm = Replay(loaded, cfg, batch_update_only=False)
-    warm.run(max_steps=40)
+    # warmup pass compiles the step specializations on a short prefix
+    warm = Replay(loaded, cfg, batch_update_only=False, deferred=True)
+    warm.run(max_steps=60)
+    del warm
 
-    rep = Replay(loaded, cfg, batch_update_only=False)
+    rep = Replay(loaded, cfg, batch_update_only=False, deferred=True)
     t0 = time.perf_counter()
     res = rep.run()
     total_s = time.perf_counter() - t0
 
     n = len(res)
-    final_chi2 = res[-1].chi2
+    hist = rep.solver.chi2_history()
+    final_chi2 = float(hist[-1]) if len(hist) else float("nan")
     poses_per_sec = n / total_s
     ok = CHI2_BAND[0] <= final_chi2 <= CHI2_BAND[1]
 
@@ -62,7 +76,8 @@ def main() -> int:
         "metric": "m3500_incremental_replay_poses_per_sec"
         + ("" if ok else "_CHI2_PARITY_FAIL"),
         "value": round(poses_per_sec, 2),
-        "unit": f"poses/s (final_chi2={final_chi2:.3f}, platform={platform})",
+        "unit": f"poses/s (final_chi2={final_chi2:.3f}, platform={platform}, "
+                f"steps={n})",
         "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 3),
     }))
     return 0
