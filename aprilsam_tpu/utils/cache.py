@@ -23,10 +23,11 @@ def setup_precision() -> None:
 def enable_compilation_cache(path: str = None) -> None:
     import jax
 
+    platform = jax.default_backend()
     path = path or os.environ.get(
         "APRILSAM_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache"),
+            os.path.abspath(__file__)))), f".jax_cache-{platform}"),
     )
     try:
         os.makedirs(path, exist_ok=True)

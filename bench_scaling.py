@@ -76,7 +76,12 @@ def main():
 
     if 1 in results and ndev_all in results:
         eff = results[1] / (results[ndev_all] * ndev_all)
-        print(f"scaling efficiency at {ndev_all} devices: {eff:.2f}",
+        note = ""
+        if platform == "cpu":
+            note = (" [NOTE: virtual CPU mesh shares one physical socket; "
+                    "multi-device numbers here validate correctness, not "
+                    "real scaling]")
+        print(f"scaling efficiency at {ndev_all} devices: {eff:.2f}{note}",
               flush=True)
         if args.json:
             print(json.dumps({
