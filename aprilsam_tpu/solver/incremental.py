@@ -408,17 +408,13 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
                   jnp.clip(nf_b, 0, NCAP - 1), nf_z, nf_W)
     evp = eval_xytpos(ds.state, jnp.clip(np_node, 0, NCAP - 1), np_z, np_W)
 
-    def w_sqrt(W):
-        # symmetric square root via eigh (robust to singular priors); W is
-        # taken in its upper-mirrored symmetric form — identical to the
-        # reference for every symmetric/diagonal W it ships with
-        Ws = jnp.triu(W) + jnp.triu(W, 1).transpose(0, 2, 1)
-        lam, V = jnp.linalg.eigh(Ws)
-        lam = jnp.sqrt(jnp.maximum(lam, 0.0))
-        return jnp.einsum("fik,fk,fjk->fij", V, lam, V)
+    # W^T/2 factors via closed-form 3x3 Cholesky (reads the upper triangle
+    # only == the reference's upper-mirror W semantics); tiny jitter keeps
+    # PSD-singular priors finite
+    from ..kernels.linalg3 import chol3
 
-    Wh_xyt = w_sqrt(nf_W) * nf_valid[:, None, None]
-    Wh_pos = w_sqrt(np_W) * npv[:, None, None]
+    Wh_xyt = chol3(nf_W, jitter=1e-12) * nf_valid[:, None, None]
+    Wh_pos = chol3(np_W, jitter=1e-12) * npv[:, None, None]
 
     nf_a_slot = _unpack(ints, off_i, "nf_a_slot")
     nf_b_slot = _unpack(ints, off_i, "nf_b_slot")
@@ -523,11 +519,11 @@ def inc_step_fast(ds: DeviceState, ints, floats, maps, fringe_fc,
     yscal_fr = (3 * jnp.clip(fringe_pos, 0, NCAP - 1)[:, None]
                 + jnp.arange(3)[None, :])
     y_fr = ds.y[yscal_fr]
+    from ..kernels.linalg3 import solve_upper3
+
     T = fr_rows[:, 0] + jnp.eye(3, dtype=dtype) * jnp.where(
         fr_valid, 0.0, 1.0)[:, None, None]
-    x_fr = jax.vmap(
-        lambda Tk, bk: jax.scipy.linalg.solve_triangular(Tk, bk, lower=False)
-    )(T, y_fr - off)
+    x_fr = solve_upper3(T, y_fr - off)
 
     def relin_mask(dx):
         return (jnp.abs(dx[:, 0]) > delta_xy) | (jnp.abs(dx[:, 1]) > delta_xy) \
