@@ -82,3 +82,27 @@ def test_reference_written_graph_roundtrip(tmp_path):
     assert g2.nnodes == g.nnodes and g2.nfactors == g.nfactors
     np.testing.assert_allclose(g2.states, g.states, atol=0)
     np.testing.assert_allclose(g2.fW[: g.nfactors], g.fW[: g.nfactors], atol=0)
+
+
+def test_c_reference_reads_our_graph():
+    """Byte-level interop: a .graph written by our serializer replays in the
+    C reference demo (requires the reference build in /tmp/refbuild)."""
+    import os
+    import subprocess
+
+    demo = "/tmp/refbuild/examples/aprilsam_demo"
+    if not os.path.exists(demo):
+        pytest.skip("reference build not present")
+    g = load_graph_file(M3500_GRAPH)
+    save_graph_file(g, "/tmp/interop_test.graph")
+    p = subprocess.Popen(
+        [demo, "--graphpath", "/tmp/interop_test.graph"],
+        stdout=subprocess.PIPE, text=True, cwd="/tmp/refbuild/examples",
+    )
+    lines = []
+    try:
+        for _ in range(40):
+            lines.append(p.stdout.readline())
+    finally:
+        p.kill()
+    assert any("Chi squared error" in ln for ln in lines)
