@@ -37,6 +37,10 @@ class SolverConfig:
     # host<->device round trip with compute (the wall-clock gate is then
     # inactive, as there is no per-step device sync to time).
     policy_lag: int = 0
+    # Consecutive same-shaped incremental steps dispatched as ONE device call
+    # (lax.scan bundle).  1 = off.  Bundling adds up to bundle_size extra
+    # steps of policy lag; per-step chi2 logging is unaffected.
+    bundle_size: int = 1
 
     # --- numerics ---
     dtype: np.dtype = np.float64   # float32 on TPU for speed, float64 for parity tests

@@ -468,11 +468,16 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
     return ds, R_up, y_new, row_valid, scalar_valid, spd
 
 
-def _finish(ds: DeviceState, chi2, start_over, spd):
-    """Write the per-step metric ring and pack the policy stats vector."""
+def _finish(ds: DeviceState, chi2, start_over, spd, live):
+    """Write the per-step metric ring and pack the policy stats vector.
+    `live` is False for padding slots of a partially-filled bundle: their
+    chi2 is not logged and the ring pointer does not advance."""
     LOG = ds.chi2_log.shape[0]
-    chi2_log = ds.chi2_log.at[jnp.clip(ds.log_ptr, 0, LOG - 1)].set(chi2)
-    ds = ds._replace(chi2_log=chi2_log, log_ptr=ds.log_ptr + 1,
+    chi2_log = ds.chi2_log.at[
+        jnp.where(live, jnp.clip(ds.log_ptr, 0, LOG - 1), LOG)
+    ].set(chi2, mode="drop")
+    ds = ds._replace(chi2_log=chi2_log,
+                     log_ptr=ds.log_ptr + live.astype(jnp.int32),
                      start_over=start_over)
     stats = jnp.stack([
         chi2.astype(jnp.float32),
@@ -482,12 +487,9 @@ def _finish(ds: DeviceState, chi2, start_over, spd):
     return ds, stats
 
 
-@partial(jax.jit,
-         static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta"),
-         donate_argnames=("ds",))
-def inc_step_fast(ds: DeviceState, ints, floats, maps, fringe_fc,
-                  MAXAFF: int, MAXFR: int, KNEW: int,
-                  delta_xy: float, delta_theta: float):
+def _fast_body(ds: DeviceState, ints, floats, maps, fringe_fc,
+               MAXAFF: int, MAXFR: int, KNEW: int,
+               delta_xy: float, delta_theta: float):
     NCAP = ds.state.shape[0]
     dtype = ds.R_blocks.dtype
     M = MAXAFF
@@ -555,7 +557,36 @@ def inc_step_fast(ds: DeviceState, ints, floats, maps, fringe_fc,
 
     ds = ds._replace(state=state, delta_X=delta_X, relinearized=already)
     chi2 = state_chi2(ds)
-    return _finish(ds, chi2, start_over, spd)
+    live = _unpack(ints, off_i, "scalars")[0] > 0  # m > 0
+    return _finish(ds, chi2, start_over, spd, live)
+
+
+@partial(jax.jit,
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta"),
+         donate_argnames=("ds",))
+def inc_step_fast(ds: DeviceState, ints, floats, maps, fringe_fc,
+                  MAXAFF: int, MAXFR: int, KNEW: int,
+                  delta_xy: float, delta_theta: float):
+    return _fast_body(ds, ints, floats, maps, fringe_fc,
+                      MAXAFF, MAXFR, KNEW, delta_xy, delta_theta)
+
+
+@partial(jax.jit,
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta"),
+         donate_argnames=("ds",))
+def inc_bundle_fast(ds: DeviceState, ints_b, floats_b, maps_b, ffc_b,
+                    MAXAFF: int, MAXFR: int, KNEW: int,
+                    delta_xy: float, delta_theta: float):
+    """B consecutive fast steps in one dispatch (lax.scan over plan slices);
+    padding slots are no-ops."""
+
+    def body(ds, xs):
+        ints, floats, maps, ffc = xs
+        ds, stats = _fast_body(ds, ints, floats, maps, ffc,
+                               MAXAFF, MAXFR, KNEW, delta_xy, delta_theta)
+        return ds, stats
+
+    return jax.lax.scan(body, ds, (ints_b, floats_b, maps_b, ffc_b))
 
 
 def _gather_panel_triangle(ds: DeviceState, p0, PANEL: int, n):
@@ -596,14 +627,10 @@ def _refresh_panel_inverses(ds: DeviceState, dirty, n_dirty, PANEL: int):
     return ds._replace(Tinv=Tinv)
 
 
-@partial(jax.jit,
-         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "DP",
-                          "delta_xy", "delta_theta"),
-         donate_argnames=("ds",))
-def inc_step_full(ds: DeviceState, ints, floats, maps, fringe_fc,
-                  dirty, n_dirty,
-                  MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, DP: int,
-                  delta_xy: float, delta_theta: float):
+def _full_body(ds: DeviceState, ints, floats, maps, fringe_fc,
+               dirty, n_dirty,
+               MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, DP: int,
+               delta_xy: float, delta_theta: float):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
@@ -666,7 +693,41 @@ def inc_step_full(ds: DeviceState, ints, floats, maps, fringe_fc,
     ds = ds._replace(state=new_state, delta_X=delta_X,
                      relinearized=relinearized)
     chi2 = state_chi2(ds)
-    return _finish(ds, chi2, start_over, spd)
+    live = _unpack(ints, off_i, "scalars")[0] > 0
+    return _finish(ds, chi2, start_over, spd, live)
+
+
+@partial(jax.jit,
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "DP",
+                          "delta_xy", "delta_theta"),
+         donate_argnames=("ds",))
+def inc_step_full(ds: DeviceState, ints, floats, maps, fringe_fc,
+                  dirty, n_dirty,
+                  MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, DP: int,
+                  delta_xy: float, delta_theta: float):
+    return _full_body(ds, ints, floats, maps, fringe_fc, dirty, n_dirty,
+                      MAXAFF, MAXFR, KNEW, PANEL, DP, delta_xy, delta_theta)
+
+
+@partial(jax.jit,
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "DP",
+                          "delta_xy", "delta_theta"),
+         donate_argnames=("ds",))
+def inc_bundle_full(ds: DeviceState, ints_b, floats_b, maps_b, ffc_b,
+                    dirty_b, n_dirty_b,
+                    MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, DP: int,
+                    delta_xy: float, delta_theta: float):
+    """B consecutive full steps in one dispatch."""
+
+    def body(ds, xs):
+        ints, floats, maps, ffc, dirty, n_dirty = xs
+        ds, stats = _full_body(ds, ints, floats, maps, ffc, dirty, n_dirty,
+                               MAXAFF, MAXFR, KNEW, PANEL, DP,
+                               delta_xy, delta_theta)
+        return ds, stats
+
+    return jax.lax.scan(
+        body, ds, (ints_b, floats_b, maps_b, ffc_b, dirty_b, n_dirty_b))
 
 
 # ======================================================================
@@ -703,6 +764,8 @@ class IncrementalSolver:
         self.steps_done = 0
         self._batch_serial = 0
         self._pending: deque = deque()
+        self._queue: list = []       # planned-but-undispatched bundle slots
+        self._queue_sig = None
         # panels whose R rows changed since their cached inverse was built
         self._dirty_panels: set = set(range(
             self.cfg.node_capacity // self.cfg.panel_nodes))
@@ -742,6 +805,8 @@ class IncrementalSolver:
 
     def _run_batch(self, g: FactorGraph, record_time: bool = False,
                    log_mode: int = 0) -> BatchInfo:
+        # queued incremental steps logically precede this batch epoch
+        self._dispatch_queue()
         t0 = time.perf_counter()
         while True:
             try:
@@ -838,41 +903,43 @@ class IncrementalSolver:
             self.steps_done += 1
             return self._run_batch(g, record_time=True)
 
-        dt = self.cfg.jnp_dtype
-        ints = jnp.asarray(plan.ints)
-        floats = jnp.asarray(plan.floats.astype(self.cfg.dtype))
-        maps = jnp.asarray(plan.maps)
-        ffc = jnp.asarray(plan.fringe_fc)
-        K = self.cfg.new_factor_capacity
-
         # track panels dirtied by this step's frontal scatter
         PANEL = self.cfg.panel_nodes
         NPAN = self.cfg.node_capacity // PANEL
         F = plan.ints[: plan.m]  # F_pos segment leads the packed vector
         self._dirty_panels.update(int(p) // PANEL for p in F)
 
-        if plan.naffected <= self.cfg.small_path_max and not plan.fringe_overflow:
+        fast = (plan.naffected <= self.cfg.small_path_max
+                and not plan.fringe_overflow)
+        if fast:
             self.last_path = "fast"
-            self.ds, stats = inc_step_fast(
-                self.ds, ints, floats, maps, ffc,
-                MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
-                delta_xy=float(self.cfg.delta_xy),
-                delta_theta=float(self.cfg.delta_theta))
+            sig = ("fast", plan.MAXAFF, plan.MAXFR)
+            dirty = None
+            n_dirty = 0
+            DP = 0
         else:
             self.last_path = "full"
-            dirty = sorted(self._dirty_panels)
-            DP = 8 if len(dirty) <= 8 else NPAN
-            dl = np.full(DP, NPAN, dtype=np.int32)
-            dl[: len(dirty)] = dirty[:DP]
-            self.ds, stats = inc_step_full(
-                self.ds, ints, floats, maps, ffc,
-                jnp.asarray(dl), jnp.int32(min(len(dirty), DP)),
-                MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
-                PANEL=PANEL, DP=DP,
-                delta_xy=float(self.cfg.delta_xy),
-                delta_theta=float(self.cfg.delta_theta))
+            dl = sorted(self._dirty_panels)
+            DP = 8 if len(dl) <= 8 else NPAN
+            dirty = np.full(DP, NPAN, dtype=np.int32)
+            dirty[: len(dl)] = dl[:DP]
+            n_dirty = min(len(dl), DP)
             self._dirty_panels.clear()
+            sig = ("full", plan.MAXAFF, plan.MAXFR, DP)
 
+        B = max(1, self.cfg.bundle_size)
+        if B > 1:
+            if self._queue and self._queue_sig != sig:
+                self._dispatch_queue()
+            self._queue_sig = sig
+            self._queue.append((plan, dirty, n_dirty))
+            self.steps_done += 1
+            if len(self._queue) >= B:
+                self._dispatch_queue()
+            self._drain_pending(g)
+            return None
+
+        stats = self._dispatch_one(plan, dirty, n_dirty, sig)
         self.steps_done += 1
 
         if self.cfg.policy_lag == 0:
@@ -889,21 +956,101 @@ class IncrementalSolver:
             self._drain_pending(g)
             return None
 
+    # ------------------------------------------------------- dispatching
+
+    def _dispatch_one(self, plan: StepPlan, dirty, n_dirty, sig):
+        K = self.cfg.new_factor_capacity
+        ints = jnp.asarray(plan.ints)
+        floats = jnp.asarray(plan.floats.astype(self.cfg.dtype))
+        maps = jnp.asarray(plan.maps)
+        ffc = jnp.asarray(plan.fringe_fc)
+        if sig[0] == "fast":
+            self.ds, stats = inc_step_fast(
+                self.ds, ints, floats, maps, ffc,
+                MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
+                delta_xy=float(self.cfg.delta_xy),
+                delta_theta=float(self.cfg.delta_theta))
+        else:
+            self.ds, stats = inc_step_full(
+                self.ds, ints, floats, maps, ffc,
+                jnp.asarray(dirty), jnp.int32(n_dirty),
+                MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
+                PANEL=self.cfg.panel_nodes, DP=sig[3],
+                delta_xy=float(self.cfg.delta_xy),
+                delta_theta=float(self.cfg.delta_theta))
+        return stats
+
+    def _dispatch_queue(self):
+        """Dispatch the queued plans as one bundled scan (padding dead
+        slots); push per-step stats into the pending policy queue."""
+        if not self._queue:
+            return
+        sig = self._queue_sig
+        k = len(self._queue)
+        B = max(1, self.cfg.bundle_size)
+        K = self.cfg.new_factor_capacity
+        plans = [q[0] for q in self._queue]
+
+        def padded(getter, fill=0):
+            arrs = [getter(p) for p in plans]
+            dead = np.full_like(arrs[0], fill)
+            return np.stack(arrs + [dead] * (B - k))
+
+        ints_b = jnp.asarray(padded(lambda p: p.ints))
+        floats_b = jnp.asarray(
+            padded(lambda p: p.floats).astype(self.cfg.dtype))
+        maps_b = jnp.asarray(padded(lambda p: p.maps, fill=-1))
+        ffc_b = jnp.asarray(padded(lambda p: p.fringe_fc, fill=-1))
+
+        if sig[0] == "fast":
+            self.ds, stats = inc_bundle_fast(
+                self.ds, ints_b, floats_b, maps_b, ffc_b,
+                MAXAFF=sig[1], MAXFR=sig[2], KNEW=K,
+                delta_xy=float(self.cfg.delta_xy),
+                delta_theta=float(self.cfg.delta_theta))
+        else:
+            DP = sig[3]
+            NPAN = self.cfg.node_capacity // self.cfg.panel_nodes
+            dirty_b = np.full((B, DP), NPAN, dtype=np.int32)
+            nd_b = np.zeros(B, dtype=np.int32)
+            for i, (_, dirty, n_dirty) in enumerate(self._queue):
+                dirty_b[i] = dirty
+                nd_b[i] = n_dirty
+            self.ds, stats = inc_bundle_full(
+                self.ds, ints_b, floats_b, maps_b, ffc_b,
+                jnp.asarray(dirty_b), jnp.asarray(nd_b),
+                MAXAFF=sig[1], MAXFR=sig[2], KNEW=K,
+                PANEL=self.cfg.panel_nodes, DP=DP,
+                delta_xy=float(self.cfg.delta_xy),
+                delta_theta=float(self.cfg.delta_theta))
+
+        base = self.steps_done - k
+        for i in range(k):
+            self._pending.append(
+                _Pending(base + i, stats[i], self._batch_serial))
+        self._queue.clear()
+        self._queue_sig = None
+
     def flush(self, g: FactorGraph):
-        """Consume all pending policy stats (end of replay)."""
+        """Dispatch any queued bundle and consume all pending policy stats
+        (end of replay)."""
+        self._dispatch_queue()
         self._drain_pending(g, block_all=True)
 
     # ---------------------------------------------------------------
 
     def chi2(self) -> float:
+        self._dispatch_queue()
         return float(state_chi2(self.ds))
 
     def chi2_history(self) -> np.ndarray:
         """Per-optimize chi2 values from the device-side metric ring."""
+        self._dispatch_queue()
         n = int(self.ds.log_ptr)
         return np.asarray(jax.device_get(self.ds.chi2_log))[:n]
 
     def sync_states(self, g: FactorGraph) -> None:
+        self._dispatch_queue()
         st, lp, dx = jax.device_get(
             (self.ds.state, self.ds.l_point, self.ds.delta_X))
         g.state[: g.nnodes] = st[: g.nnodes].astype(np.float64)

@@ -216,3 +216,54 @@ def test_m3500_incremental_replay_prefix(m3500):
     np.testing.assert_allclose(ours[:50], golden[:50], atol=2e-3)
     # no divergence over the window
     assert np.all(ours < golden[:K] + 1.0)
+
+
+def test_bundled_matches_unbundled():
+    """bundle_size > 1 must produce the same trajectory as per-step
+    dispatch (padding slots are no-ops; policy lags by <= bundle size)."""
+    g = chain_graph(40, y_noise=0.05, seed=3)
+    # add some closures so both paths occur
+    for (a, b) in [(2, 20), (5, 30), (10, 38)]:
+        z = np_xyt_inv_mul(g.init[a], g.init[b]) + np.array([0.1, -0.05, 0.02])
+        g.add_factor_xyt(a, b, z, W_ODO)
+
+    def replay(bundle):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg(nthreshold=10**9), bundle_size=bundle, policy_lag=4)
+        s = IncrementalSolver(cfg)
+        from aprilsam_tpu.graph import FactorGraph
+
+        live = FactorGraph()
+        by_max = [[] for _ in range(40)]
+        for f in range(g.nfactors):
+            a, b = g.fnodes[f]
+            by_max[int(max(a, b))].append(f)
+        from aprilsam_tpu.solver.incremental import SeedSpec
+
+        for k in range(40):
+            live.add_node(g.init[k], init=g.init[k])
+            seeds = []
+            for f in by_max[k]:
+                a, b = (int(v) for v in g.fnodes[f])
+                if b >= 0:
+                    if abs(a - b) == 1:
+                        if a < b:
+                            seeds.append(SeedSpec(a, b, g.fz[f], False))
+                        else:
+                            seeds.append(SeedSpec(b, a, g.fz[f], True))
+                    live.add_factor_xyt(a, b, g.fz[f], g.fW[f])
+                else:
+                    live.add_factor_xytpos(a, g.fz[f], g.fW[f])
+            if k == 0:
+                s.solve(live)
+            else:
+                s.update(live, seeds=seeds)
+        s.flush(live)
+        return (np.asarray(s.ds.state[:40]), s.chi2_history())
+
+    st1, h1 = replay(1)
+    st4, h4 = replay(4)
+    np.testing.assert_allclose(st4, st1, atol=1e-12)
+    np.testing.assert_allclose(h4, h1, atol=1e-12)
