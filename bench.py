@@ -54,6 +54,7 @@ def main() -> int:
         wallclock_gate=False,   # deterministic trajectory (matches the
                                 # published 69.91 semantics, BASELINE.md)
         policy_lag=8,
+        bundle_size=8,          # amortize dispatch round-trips
     )
 
     # warmup pass compiles the step specializations on a short prefix
