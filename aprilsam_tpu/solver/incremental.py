@@ -883,9 +883,9 @@ class IncrementalSolver:
         applied as stats arrive (use flush() at the end of a replay)."""
         if g.nnodes == 0 or g.nfactors == 0:
             return BatchInfo(chi2=0.0, spd=True, n=0)
-        if self.sym is None:
-            return BatchInfo(chi2=float(state_chi2(self.ds)), spd=True, n=0)
-        if self.factor_num == g.nfactors:
+        if self.sym is None or self.factor_num == g.nfactors:
+            # guards (aprilsam.c:380-385); reflect any queued steps first
+            self._dispatch_queue()
             return BatchInfo(chi2=float(state_chi2(self.ds)), spd=True, n=0)
 
         t0 = time.perf_counter()
