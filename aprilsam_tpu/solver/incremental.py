@@ -416,6 +416,17 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
     Wh_xyt = chol3(nf_W, jitter=1e-12) * nf_valid[:, None, None]
     Wh_pos = chol3(np_W, jitter=1e-12) * npv[:, None, None]
 
+    def _psd_ok(Wh, W, valid):
+        # the QR update is a Cholesky UPdate; an indefinite W cannot be
+        # represented (the reference NaNs on it, smatd.c:669-699, and
+        # ignores its own is_spd flag — we escalate to a batch instead).
+        Wsym = jnp.triu(W) + jnp.triu(W, 1).transpose(0, 2, 1)
+        err = jnp.abs(jnp.einsum("fki,fkj->fij", Wh, Wh) - Wsym)
+        scale = 1e-3 * (1.0 + jnp.abs(Wsym).max(axis=(1, 2)))
+        return jnp.all(jnp.where(valid, err.max(axis=(1, 2)) <= scale, True))
+
+    w_ok = _psd_ok(Wh_xyt, nf_W, nf_valid) & _psd_ok(Wh_pos, np_W, npv)
+
     nf_a_slot = _unpack(ints, off_i, "nf_a_slot")
     nf_b_slot = _unpack(ints, off_i, "nf_b_slot")
     np_slot = _unpack(ints, off_i, "np_slot")
@@ -444,7 +455,8 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
     sgn = jnp.where(jnp.diagonal(Rq) < 0, -1.0, 1.0).astype(dtype)
     R_up = sgn[:, None] * Rq
     diag = jnp.diagonal(R_up)
-    spd = jnp.all(jnp.where(scalar_valid, jnp.isfinite(diag) & (diag > 0), True))
+    spd = w_ok & jnp.all(
+        jnp.where(scalar_valid, jnp.isfinite(diag) & (diag > 0), True))
 
     # gated forward solve on y (aprilsam.c:702-719): y' = Q^T d
     y_new = sgn * (Q.T @ d_stack)
