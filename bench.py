@@ -57,9 +57,12 @@ def main() -> int:
         bundle_size=8,          # amortize dispatch round-trips
     )
 
-    # warmup pass compiles the step specializations on a short prefix
+    # warmup: run a short prefix (compiles the batch path), then drive every
+    # step/bundle specialization with dead-slot plans so no compile lands in
+    # the timed region (entries persist in the compilation cache)
     warm = Replay(loaded, cfg, batch_update_only=False, deferred=True)
     warm.run(max_steps=60)
+    warm.solver.precompile()
     del warm
 
     rep = Replay(loaded, cfg, batch_update_only=False, deferred=True)
