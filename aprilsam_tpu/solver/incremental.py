@@ -1117,6 +1117,25 @@ class IncrementalSolver:
         n = int(self.ds.log_ptr)
         return np.asarray(jax.device_get(self.ds.chi2_log))[:n]
 
+    def describe_tree(self, max_nodes: int = 50) -> str:
+        """Human-readable elimination-tree dump (search_tree_print parity,
+        aprilsam.c:677-690): per node its position, parent, children."""
+        if self.sym is None:
+            return "<no tree: run solve() first>"
+        sym = self.sym
+        lines = [f"root position: {sym.nnodes - 1} "
+                 f"(node {int(sym.order[sym.nnodes - 1])}), "
+                 f"nnodes: {sym.nnodes}"]
+        for p in range(min(sym.nnodes, max_nodes)):
+            kids = ",".join(str(c) for c in sym.children[p])
+            lines.append(
+                f" pos {p} (node {int(sym.order[p])}): "
+                f"parent={int(sym.parents[p])} children=[{kids}] "
+                f"nnz={len(sym.patterns[p])}")
+        if sym.nnodes > max_nodes:
+            lines.append(f" ... ({sym.nnodes - max_nodes} more)")
+        return "\n".join(lines)
+
     def sync_states(self, g: FactorGraph) -> None:
         self._dispatch_queue()
         st, lp, dx = jax.device_get(

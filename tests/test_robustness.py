@@ -106,3 +106,53 @@ def test_spd_failure_triggers_batch():
     g.add_factor_xyt(n - 1, n, [1, 0, 0], W)
     s.update(g, seeds=[SeedSpec(n - 1, n, np.array([1.0, 0, 0]), False)])
     assert np.isfinite(s.chi2())
+
+
+def test_describe_tree():
+    g = FactorGraph()
+    for i in range(5):
+        g.add_node([i, 0, 0], init=[i, 0, 0])
+    g.add_factor_xytpos(0, [0, 0, 0], np.diag([1e4, 1e4, 1e3]))
+    for i in range(4):
+        g.add_factor_xyt(i, i + 1, [1, 0, 0], W)
+    s = IncrementalSolver(cfg())
+    assert "no tree" in s.describe_tree()
+    s.solve(g)
+    out = s.describe_tree()
+    assert "root position: 4" in out and "parent=" in out
+
+
+def test_ordering_reduces_fill():
+    """The constrained min-degree ordering must not blow up fill relative to
+    the natural ordering on a loop-closure-rich graph, and must keep the
+    newest node last (aprilsam.c:1020-1035)."""
+    from aprilsam_tpu.datasets import manhattan_world
+    from aprilsam_tpu.solver import symbolic as sym_mod
+
+    g = manhattan_world(300, seed=21, closure_prob=0.4)
+    n = g.nnodes
+    adj = sym_mod.build_adjacency(n, g.ftype[: g.nfactors],
+                                  g.fnodes[: g.nfactors])
+    order = sym_mod.min_degree_ordering(n, adj)
+    assert order[-1] == n - 1
+    sym = sym_mod.build_symbolic(n, adj, order)
+    fill_md = sum(len(p) for p in sym.patterns)
+    nat = sym_mod.build_symbolic(n, adj, np.arange(n, dtype=np.int32))
+    fill_nat = sum(len(p) for p in nat.patterns)
+    assert fill_md <= fill_nat
+
+
+def test_cli_smoke(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from aprilsam_tpu.cli import main;"
+         "main(['--datapath','/root/reference/data/M3500.txt',"
+         "'--max_steps','12','--quiet','--json','--node_capacity','512'])"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert '"final_chi2"' in out.stdout
