@@ -16,13 +16,10 @@ This module mirrors and extends that:
 
 from __future__ import annotations
 
-import io
 import json
-from typing import Tuple
 
 import numpy as np
 
-from .graph import FactorGraph
 from .io import load_graph_file, save_graph_file
 from .solver.config import SolverConfig
 from .solver.incremental import IncrementalSolver

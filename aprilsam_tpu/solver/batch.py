@@ -17,7 +17,6 @@ factorization kernel replaces the dense chol for large graphs (kernels/).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
