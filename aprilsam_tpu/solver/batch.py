@@ -10,9 +10,11 @@ TPU-native re-design of april_graph_cholesky (reference: aprilsam.c:87-375):
          aprilsam.c:293-298) -> back substitution -> update all states ->
          extract the block-sparse R rows on the symbolic pattern.
 
-The v0 numeric path factors a dense bucketed matrix (exact, pattern-agnostic)
-and gathers R's structural blocks out of it; the block-sparse panel
-factorization kernel replaces the dense chol for large graphs (kernels/).
+The device numeric path factors a dense bucketed matrix (exact,
+pattern-agnostic) and gathers R's structural blocks out of it; the default
+batch backend for small problems is the native float64 host epoch
+(host_batch.py / native/sam_native.c), where the ~10 MFLOP factorization is
+cheaper than device dispatch.
 """
 
 from __future__ import annotations

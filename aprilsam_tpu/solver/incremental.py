@@ -631,10 +631,9 @@ def _refresh_panel_inverses(ds: DeviceState, dirty, n_dirty, PANEL: int):
     valid = jnp.arange(DP, dtype=jnp.int32) < n_dirty
     pids = jnp.clip(dirty, 0, NPAN - 1)
     Ts = jax.vmap(lambda j: _gather_panel_triangle(ds, j * PANEL, PANEL, n))(pids)
-    eye = jnp.eye(3 * PANEL, dtype=dtype)
-    invs = jax.vmap(
-        lambda T: jax.scipy.linalg.solve_triangular(T, eye, lower=False)
-    )(Ts)
+    from ..kernels.pallas_tri import tri_inv
+
+    invs = tri_inv(Ts)
     Tinv = ds.Tinv.at[jnp.where(valid, pids, NPAN)].set(invs, mode="drop")
     return ds._replace(Tinv=Tinv)
 

@@ -156,3 +156,19 @@ def test_cli_smoke(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-800:]
     assert '"final_chi2"' in out.stdout
+
+
+def test_pallas_tri_inv_interpret():
+    """The Pallas blocked triangular-inverse kernel matches numpy in
+    interpreter mode (hardware validation happens on the TPU bench)."""
+    import jax.numpy as jnp
+
+    from aprilsam_tpu.kernels.pallas_tri import tri_inv_pallas
+
+    rng = np.random.default_rng(3)
+    B, N = 3, 96
+    T = (np.triu(rng.standard_normal((B, N, N))).astype(np.float32)
+         + 6 * np.eye(N, dtype=np.float32))
+    out = np.asarray(tri_inv_pallas(jnp.asarray(T), interpret=True))
+    ref = np.stack([np.linalg.inv(T[b]) for b in range(B)])
+    assert np.max(np.abs(out - ref)) / np.max(np.abs(ref)) < 1e-5
