@@ -39,8 +39,11 @@ class SolverConfig:
     policy_lag: int = 0
     # Consecutive same-shaped incremental steps dispatched as ONE device call
     # (lax.scan bundle).  1 = off.  Bundling adds up to bundle_size extra
-    # steps of policy lag; per-step chi2 logging is unaffected.
+    # steps of policy lag; per-step chi2 logging is unaffected.  Full-path
+    # bundles use the smaller bundle_size_full (dead padding slots still pay
+    # the panel sweep).
     bundle_size: int = 1
+    bundle_size_full: int = 4
 
     # --- numerics ---
     dtype: np.dtype = np.float64   # float32 on TPU for speed, float64 for parity tests

@@ -940,12 +940,13 @@ class IncrementalSolver:
 
         B = max(1, self.cfg.bundle_size)
         if B > 1:
+            cap = B if fast else max(1, min(B, self.cfg.bundle_size_full))
             if self._queue and self._queue_sig != sig:
                 self._dispatch_queue()
             self._queue_sig = sig
             self._queue.append((plan, dirty, n_dirty))
             self.steps_done += 1
-            if len(self._queue) >= B:
+            if len(self._queue) >= cap:
                 self._dispatch_queue()
             self._drain_pending(g)
             return None
@@ -999,6 +1000,17 @@ class IncrementalSolver:
         sig = self._queue_sig
         k = len(self._queue)
         B = max(1, self.cfg.bundle_size)
+        if sig[0] == "full":
+            B = max(1, min(B, self.cfg.bundle_size_full))
+        if k == 1:
+            # single-slot bundles use the cheaper single-step jit
+            plan, dirty, n_dirty = self._queue[0]
+            stats = self._dispatch_one(plan, dirty, n_dirty, sig)
+            self._pending.append(
+                _Pending(self.steps_done - 1, stats, self._batch_serial))
+            self._queue.clear()
+            self._queue_sig = None
+            return
         K = self.cfg.new_factor_capacity
         plans = [q[0] for q in self._queue]
 
@@ -1093,13 +1105,13 @@ class IncrementalSolver:
                 dirty = np.full(DP, NPAN, dtype=np.int32)
                 n_dirty = 0
                 full_sig = ("full", MAXAFF, MAXFR, DP)
+            # compile the single-step jit AND (when bundling) the bundle jit
+            self._dispatch_one(plan, dirty, n_dirty, full_sig)
             if B > 1:
                 self._queue_sig = full_sig
-                self._queue = [(plan, dirty, n_dirty)]
+                self._queue = [(plan, dirty, n_dirty)] * 2
                 self._dispatch_queue()
-                self._pending.clear()  # dead stats carry nothing
-            else:
-                self._dispatch_one(plan, dirty, n_dirty, full_sig)
+            self._pending.clear()  # dead stats carry nothing
             count += 1
         jax.block_until_ready(self.ds.state)
         return count
