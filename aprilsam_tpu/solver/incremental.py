@@ -748,8 +748,9 @@ def inc_bundle_full(ds: DeviceState, ints_b, floats_b, maps_b, ffc_b,
 @dataclass
 class _Pending:
     step: int
-    stats: jax.Array
+    stats: jax.Array             # [3] or a whole bundle's [B, 3]
     dispatched_after_batch: int  # batch-epoch serial at dispatch time
+    row: int = -1                # row within a bundle stats array (-1: 1-D)
 
 
 class IncrementalSolver:
@@ -882,7 +883,9 @@ class IncrementalSolver:
         lag = self.cfg.policy_lag
         while self._pending and (block_all or len(self._pending) > lag):
             p = self._pending.popleft()
-            stats = np.asarray(p.stats)
+            stats = np.asarray(p.stats)  # cached on the array after first use
+            if p.row >= 0:
+                stats = stats[p.row]
             self._apply_policy(stats, p.dispatched_after_batch, 0.0, g)
 
     def update(self, g: FactorGraph,
@@ -1049,8 +1052,10 @@ class IncrementalSolver:
 
         base = self.steps_done - k
         for i in range(k):
+            # keep the whole bundle stats array; row-slice on the host after
+            # the (single, cached) transfer instead of per-row device slices
             self._pending.append(
-                _Pending(base + i, stats[i], self._batch_serial))
+                _Pending(base + i, stats, self._batch_serial, row=i))
         self._queue.clear()
         self._queue_sig = None
 
