@@ -45,6 +45,8 @@ class StepResult:
     chi2: float
     step_ms: float
     total_ms: float
+    path: str = ""        # fast | full | batch (solver path taken)
+    naffected: int = 0    # tr->naffected equivalent for this step
 
 
 class Replay:
@@ -153,8 +155,12 @@ class Replay:
         if not self.deferred:
             if self.batch_update_only:
                 self.solver.sync_states(self.graph)
+        solver = self.solver
         res = StepResult(
-            step=self.event_idx - 1, chi2=chi2, step_ms=ms, total_ms=self.total_ms
+            step=self.event_idx - 1, chi2=chi2, step_ms=ms,
+            total_ms=self.total_ms,
+            path=getattr(solver, "last_path", "batch"),
+            naffected=getattr(solver, "last_naffected", 0),
         )
         self.results.append(res)
         return res

@@ -773,6 +773,7 @@ class IncrementalSolver:
         self._ingested_nodes = 0
         self._ingested_factors = 0
         self.last_path = "none"
+        self.last_naffected = 0
         self.steps_done = 0
         self._batch_serial = 0
         self._pending: deque = deque()
@@ -923,6 +924,7 @@ class IncrementalSolver:
         F = plan.ints[: plan.m]  # F_pos segment leads the packed vector
         self._dirty_panels.update(int(p) // PANEL for p in F)
 
+        self.last_naffected = plan.naffected
         fast = (plan.naffected <= self.cfg.small_path_max
                 and not plan.fringe_overflow)
         if fast:
