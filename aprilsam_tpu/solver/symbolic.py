@@ -165,17 +165,37 @@ def build_symbolic(nnodes: int, adj: Sequence[Set[int]], order: np.ndarray) -> S
 
 def append_nodes(sym: SymbolicState, new_node_ids: Sequence[int]) -> None:
     """Extend the ordering with newly added nodes at the end (identity
-    positions), reference: aprilsam.c:392-397."""
+    positions), reference: aprilsam.c:392-397.
+
+    Amortized O(new): order/pos/parents live in geometrically-grown capacity
+    buffers exposed as views (the naive per-step reallocation was O(n) and
+    dominated host planning time at M3500 scale)."""
     n0 = sym.nnodes
     k = len(new_node_ids)
-    sym.order = np.concatenate([sym.order, np.asarray(new_node_ids, dtype=np.int32)])
-    pos = np.empty(sym.order.shape[0], dtype=np.int32)
-    pos[sym.order] = np.arange(sym.order.shape[0], dtype=np.int32)
-    sym.pos = pos
-    sym.parents = np.concatenate([sym.parents, np.full(k, -1, dtype=np.int32)])
-    for i in range(k):
-        sym.patterns.append(np.asarray([n0 + i], dtype=np.int32))
+    cap = getattr(sym, "_cap", 0)
+    if n0 + k > cap:
+        newcap = max(1024, 2 * (n0 + k))
+        obuf = np.empty(newcap, dtype=np.int32)
+        pbuf = np.empty(newcap, dtype=np.int32)
+        parbuf = np.empty(newcap, dtype=np.int32)
+        obuf[:n0] = sym.order
+        pbuf[:n0] = sym.pos
+        parbuf[:n0] = sym.parents
+        sym._obuf, sym._pbuf, sym._parbuf = obuf, pbuf, parbuf
+        sym._cap = newcap
+    for i, node in enumerate(new_node_ids):
+        p = n0 + i
+        sym._obuf[p] = node
+        # new nodes are appended in id order, so pos[node] == p holds for
+        # node == p (the replay always extends ids contiguously)
+        sym._pbuf[node] = p
+        sym._parbuf[p] = -1
+        sym.patterns.append(np.asarray([p], dtype=np.int32))
         sym.children.append([])
+    n1 = n0 + k
+    sym.order = sym._obuf[:n1]
+    sym.pos = sym._pbuf[:n1]
+    sym.parents = sym._parbuf[:n1]
 
 
 def mark_affected(sym: SymbolicState, touched_nodes: Sequence[int]) -> np.ndarray:
