@@ -1071,11 +1071,12 @@ class IncrementalSolver:
     # frontal bucket, fringe bucket[, dirty bucket]); precompile() drives a
     # dead-slot bundle through each so every specialization compiles (and
     # lands in the persistent cache) before timed steps begin.
+    # (high-frequency entries only: rare shapes compile lazily mid-run,
+    # which amortizes; the dispatch census lives in ROADMAP.md)
     M3500_SIGNATURES = (
-        ("fast", 16, 32), ("fast", 64, 32), ("fast", 16, 128),
+        ("fast", 16, 32),
         ("full", 16, 32, 8), ("full", 64, 32, 8), ("full", 256, 32, 8),
-        ("full", 16, 32, 32), ("full", 64, 32, 32), ("full", 256, 32, 32),
-        ("full", 256, 128, 8), ("full", 256, 128, 32),
+        ("full", 256, 32, 32),
     )
 
     def precompile(self, signatures=None) -> int:
