@@ -232,9 +232,9 @@ def update_patterns_incremental(
     positions whose pattern changed.
     """
     fset = set(int(p) for p in F)
+    rows: Dict[int, Set[int]] = {p: set(sym.patterns[p].tolist()) for p in fset}
+    before = {p: len(rows[p]) for p in fset}
 
-    # per-row new columns from the added factor blocks
-    new_cols: Dict[int, List[int]] = {}
     for a, b in new_block_edges:
         pa = int(sym.pos[a])
         if b < 0:
@@ -242,20 +242,13 @@ def update_patterns_incremental(
         pb = int(sym.pos[b])
         lo, hi = (pa, pb) if pa < pb else (pb, pa)
         assert lo in fset and hi in fset, "factor endpoints must be affected"
-        new_cols.setdefault(lo, []).append(hi)
+        rows[lo].add(hi)
 
-    # merge-based elimination over sorted int arrays (rows are sorted with
-    # the diagonal first; np.union1d keeps them that way)
     changed: List[int] = []
-    rows: Dict[int, np.ndarray] = {}
     for p in sorted(fset):
-        row = rows.get(p)
-        if row is None:
-            row = sym.patterns[p]
-        if p in new_cols:
-            row = np.union1d(row, np.asarray(new_cols[p], dtype=np.int32))
-        others = row[1:]  # row[0] == p (diagonal)
-        parent = int(others[0]) if others.size else -1
+        s = rows[p]
+        others = sorted(c for c in s if c > p)
+        parent = others[0] if others else -1
         old_parent = int(sym.parents[p])
         if parent != old_parent:
             if old_parent >= 0 and p in sym.children[old_parent]:
@@ -265,13 +258,10 @@ def update_patterns_incremental(
             sym.parents[p] = parent
         if parent >= 0:
             assert parent in fset
-            prow = rows.get(parent)
-            if prow is None:
-                prow = sym.patterns[parent]
-            rows[parent] = np.union1d(prow, others)
-        if row.shape[0] != sym.patterns[p].shape[0]:
+            rows[parent].update(others)
+        if len(s) != before[p]:
             changed.append(p)
-        sym.patterns[p] = np.asarray(row, dtype=np.int32)
+            sym.patterns[p] = np.asarray(sorted(s), dtype=np.int32)
 
     return changed
 
