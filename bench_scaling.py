@@ -22,7 +22,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--poses", type=int, default=20000)
     ap.add_argument("--blocks", type=int, default=64)
-    ap.add_argument("--closure_prob", type=float, default=0.12)
+    ap.add_argument("--closure_prob", type=float, default=0.04)
     ap.add_argument("--gn_iters", type=int, default=2)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
@@ -45,7 +45,7 @@ def main():
 
     print(f"generating {args.poses}-pose Manhattan world ...", flush=True)
     g = manhattan_world(args.poses, seed=0, closure_prob=args.closure_prob,
-                        block=20)
+                        block=25, max_closures_per_pose=1)
     c0 = g.chi2()
     print(f"nodes={g.nnodes} factors={g.nfactors} initial chi2={c0:.1f}",
           flush=True)
