@@ -26,8 +26,36 @@ CHI2_BAND = (60.0, 80.0)  # sanity band around the reference optimum ~69
 M3500 = "/root/reference/data/M3500.txt"
 
 
+def _device_healthy(timeout_s: float = 240.0) -> bool:
+    """Probe the accelerator in a subprocess: this environment's TPU relay
+    can die and leave every device op hanging forever; a structured failure
+    beats an infinite hang."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return out.returncode == 0 and "512" in out.stdout
+    except Exception:
+        return False
+
+
 def main() -> int:
     import jax
+
+    if not _device_healthy():
+        print(json.dumps({
+            "metric": "m3500_incremental_replay_poses_per_sec_DEVICE_UNREACHABLE",
+            "value": 0.0,
+            "unit": "poses/s (accelerator probe timed out; relay/tunnel down)",
+            "vs_baseline": 0.0,
+        }))
+        return 1
 
     from aprilsam_tpu.utils import enable_compilation_cache, setup_precision
 
