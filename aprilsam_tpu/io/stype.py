@@ -185,6 +185,13 @@ def load_graph_bytes(data: bytes) -> FactorGraph:
     if name != "april_graph_t":
         raise ValueError(f"not an april_graph_t file (got {name!r})")
     g = FactorGraph()
+    # Stored factor endpoints index nodes by their position in the FILE.
+    # Unknown node types are skipped (stype.c:109-169 skip-unknown recovery),
+    # so loaded indices can diverge from file indices; node_map remaps
+    # endpoints and raises on a factor that references a skipped node instead
+    # of silently misassociating it (the C reference renumbers densely and
+    # would associate factors with the wrong nodes here).
+    node_map: list = []
     while True:
         op = r.u8()
         if op == 0:
@@ -193,6 +200,7 @@ def load_graph_bytes(data: bytes) -> FactorGraph:
             tname, _ = _peek_frame_name(r)
             if tname != "april_graph_node_xyt":
                 _decode_object(r)  # skip unknown node type
+                node_map.append(-1)
                 continue
             magic_n = r.u64()
             r.string()
@@ -201,9 +209,17 @@ def load_graph_bytes(data: bytes) -> FactorGraph:
             if r.u64() != magic_n:
                 raise ValueError("node frame magic mismatch")
             idx = g.add_node(state, init=init, truth=truth)
+            node_map.append(idx)
             if attr is not None and len(attr):
                 g.node_attrs[idx] = attr
         elif op == 2:
+            def remap(i: int) -> int:
+                if i >= len(node_map) or node_map[i] < 0:
+                    raise ValueError(
+                        f"factor references node {i}, which was skipped "
+                        "(unknown node type) or not yet decoded")
+                return node_map[i]
+
             tname, _ = _peek_frame_name(r)
             if tname == "april_graph_factor_xyt":
                 magic_f = r.u64()
@@ -212,7 +228,8 @@ def load_graph_bytes(data: bytes) -> FactorGraph:
                 a, b, z, ztruth, W, attr = _decode_factor_xyt(r)
                 if r.u64() != magic_f:
                     raise ValueError("factor frame magic mismatch")
-                fidx = g.add_factor_xyt(a, b, z, W, ztruth=ztruth)
+                fidx = g.add_factor_xyt(remap(a), remap(b), z, W,
+                                        ztruth=ztruth)
             elif tname == "april_graph_factor_xytpos":
                 magic_f = r.u64()
                 r.string()
@@ -220,7 +237,7 @@ def load_graph_bytes(data: bytes) -> FactorGraph:
                 a, z, ztruth, W, attr = _decode_factor_xytpos(r)
                 if r.u64() != magic_f:
                     raise ValueError("factor frame magic mismatch")
-                fidx = g.add_factor_xytpos(a, z, W, ztruth=ztruth)
+                fidx = g.add_factor_xytpos(remap(a), z, W, ztruth=ztruth)
             else:
                 _decode_object(r)
                 continue

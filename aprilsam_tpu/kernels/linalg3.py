@@ -26,14 +26,18 @@ def chol3(W, jitter=0.0):
     w12 = W[..., 1, 2]
     w22 = W[..., 2, 2]
     scale = w00 + w11 + w22
-    d0 = jnp.maximum(w00 + eps * scale, 1e-300)
+    # dtype-aware positive floor: a literal like 1e-300 underflows to 0 in
+    # float32, turning the padding-factor case (W == 0) into 0/0 = NaN that
+    # then poisons the frontal QR through the masked-but-NaN J rows
+    tiny = jnp.finfo(jnp.result_type(W)).tiny
+    d0 = jnp.maximum(w00 + eps * scale, tiny)
     l00 = jnp.sqrt(d0)
     l01 = w01 / l00
     l02 = w02 / l00
-    d1 = jnp.maximum(w11 + eps * scale - l01 * l01, 1e-300)
+    d1 = jnp.maximum(w11 + eps * scale - l01 * l01, tiny)
     l11 = jnp.sqrt(d1)
     l12 = (w12 - l01 * l02) / l11
-    d2 = jnp.maximum(w22 + eps * scale - l02 * l02 - l12 * l12, 1e-300)
+    d2 = jnp.maximum(w22 + eps * scale - l02 * l02 - l12 * l12, tiny)
     l22 = jnp.sqrt(d2)
     z = jnp.zeros_like(l00)
     # upper factor rows: [l00 l01 l02; 0 l11 l12; 0 0 l22]

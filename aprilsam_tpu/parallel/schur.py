@@ -240,11 +240,11 @@ def schur_solve(
         c_loc = Bv[nI:] - Wm.T @ u_I             # [3nsl]
         gix = (3 * jnp.where(smap < ns, smap, ns)[:, None]
                + jnp.arange(3)[None, :]).reshape(-1)          # [3nsl]
-        return S_loc, c_loc, gix
+        # carry the interior factorization into back-substitution: one
+        # assembly + Cholesky per block per GN iteration, not two
+        return S_loc, c_loc, gix, dvec, Ls, Wm, u_I
 
-    def _block_back(st, a, b, z, W, valid, pnn, pzz, pWW, smap, x_S):
-        A, Bv, dvec, Ls, Wm, u_I = _interior_parts(
-            st, a, b, z, W, valid, pnn, pzz, pWW)
+    def _block_back(st, dvec, Ls, Wm, u_I, smap, x_S):
         gix = (3 * jnp.clip(smap, 0, ns - 1)[:, None]
                + jnp.arange(3)[None, :]).reshape(-1)
         xs_loc = jnp.where(
@@ -260,7 +260,7 @@ def schur_solve(
         out_specs=(P(axis), P()),
     )
     def gn_step(loc_states, fa, fb, fz, fW, fv, pn, pz, pW, smap):
-        S_loc, c_loc, gix = jax.vmap(_block_schur)(
+        S_loc, c_loc, gix, dvec, Ls, Wm, u_I = jax.vmap(_block_schur)(
             loc_states, fa, fb, fz, fW, fv, pn, pz, pW, smap)
         # one scatter-add of all local contributions into the global
         # separator system (indices only; no per-block dense copies)
@@ -277,9 +277,8 @@ def schur_solve(
         x_S = ds2 * jax.scipy.linalg.solve_triangular(
             Lsep.T, ysep, lower=False)
         new_int = jax.vmap(
-            lambda st, a, b, z, W, v, pnn, pzz, pWW, sm: _block_back(
-                st, a, b, z, W, v, pnn, pzz, pWW, sm, x_S))(
-            loc_states, fa, fb, fz, fW, fv, pn, pz, pW, smap)
+            _block_back, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            loc_states, dvec, Ls, Wm, u_I, smap, x_S)
         return new_int, x_S
 
     states = g.state[: g.nnodes].astype(np.float64).copy()

@@ -144,7 +144,10 @@ def _batch_step(
 
     y_full = jnp.zeros(NCAP * 3, dtype=dtype).at[: MB * 3].set(y)
 
-    spd = jnp.all(jnp.isfinite(jnp.diagonal(L)[: MB]))
+    # full-diagonal SPD check: any non-SPD pivot anywhere in the 3*MB
+    # factorization NaNs its diagonal entry (padding rows carry tikhonov on
+    # the diagonal, so they are always finite)
+    spd = jnp.all(jnp.isfinite(jnp.diagonal(L)))
 
     ds = ds._replace(
         R_blocks=R_blocks,
@@ -162,7 +165,7 @@ def _batch_step(
     chi2 = state_chi2(ds)
     LOG = ds.chi2_log.shape[0]
     do_log = log_mode < 2
-    ptr = jnp.clip(ds.log_ptr - (log_mode == 1), 0, LOG - 1)
+    ptr = jnp.maximum(ds.log_ptr - (log_mode == 1), 0)  # >= LOG drops below
     ds = ds._replace(
         chi2_log=ds.chi2_log.at[jnp.where(do_log, ptr, LOG)].set(
             chi2, mode="drop"),

@@ -66,6 +66,17 @@ class SolverConfig:
     new_factor_capacity: int = 16  # max new factors per incremental step
     frontal_buckets: tuple = (16, 64, 256, 1024)  # padded affected-set sizes
     panel_nodes: int = 128         # nodes per triangular-solve panel (384 scalars)
+    # Capacity of the device-side per-step chi2 ring.  None => 2x
+    # node_capacity (every replay step logs once, plus batch epochs, so steps
+    # stay comfortably below 2N).  Overflow raises in chi2_history() instead
+    # of silently clobbering the last slot.
+    metric_log_capacity: int = None
+
+    @property
+    def effective_log_capacity(self) -> int:
+        if self.metric_log_capacity is not None:
+            return self.metric_log_capacity
+        return 2 * self.node_capacity
 
     show_timing: bool = False
 

@@ -118,11 +118,14 @@ def host_batch_epoch(
 
     log_ptr = int(ds.log_ptr)
     chi2_log = ds.chi2_log
+    LOG = chi2_log.shape[0]
     if log_mode == 0:
-        chi2_log = chi2_log.at[min(log_ptr, chi2_log.shape[0] - 1)].set(chi2)
+        if log_ptr < LOG:  # overflow drops; chi2_history() raises on readback
+            chi2_log = chi2_log.at[log_ptr].set(chi2)
         log_ptr += 1
     elif log_mode == 1:
-        chi2_log = chi2_log.at[max(log_ptr - 1, 0)].set(chi2)
+        if 0 <= log_ptr - 1 < LOG:
+            chi2_log = chi2_log.at[log_ptr - 1].set(chi2)
 
     ds = ds._replace(
         R_blocks=jnp.asarray(R_blocks),

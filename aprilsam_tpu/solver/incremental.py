@@ -485,8 +485,10 @@ def _finish(ds: DeviceState, chi2, start_over, spd, live):
     `live` is False for padding slots of a partially-filled bundle: their
     chi2 is not logged and the ring pointer does not advance."""
     LOG = ds.chi2_log.shape[0]
+    # writes past capacity drop (mode="drop") instead of clobbering the last
+    # slot; chi2_history() raises on readback when log_ptr exceeded LOG
     chi2_log = ds.chi2_log.at[
-        jnp.where(live, jnp.clip(ds.log_ptr, 0, LOG - 1), LOG)
+        jnp.where(live, ds.log_ptr, LOG)
     ].set(chi2, mode="drop")
     ds = ds._replace(chi2_log=chi2_log,
                      log_ptr=ds.log_ptr + live.astype(jnp.int32),
@@ -791,6 +793,22 @@ class IncrementalSolver:
         self._ingested_nodes = g.nnodes
         self._ingested_factors = g.nfactors
 
+    def _apply_seeds(self, seeds: Sequence[SeedSpec]):
+        """Device-side odometry seeding outside the step kernel (used on the
+        plan-overflow batch-fallback path): dst = src (+) z, matching the
+        in-kernel seeding of _frontal_core and aprilsam_demo.c:180-191."""
+        if not seeds:
+            return
+        state, l_point = self.ds.state, self.ds.l_point
+        for s in seeds:
+            z = jnp.asarray(np.asarray(s.z), dtype=state.dtype)
+            if s.invert:
+                z = xyt_inv(z)
+            seeded = xyt_mul(state[s.src], z)
+            state = state.at[s.dst].set(seeded)
+            l_point = l_point.at[s.dst].set(seeded)
+        self.ds = self.ds._replace(state=state, l_point=l_point)
+
     def _grow_row_capacity(self):
         import dataclasses
 
@@ -911,12 +929,22 @@ class IncrementalSolver:
             plan = None
         self.factor_num = g.nfactors
         self.node_num = g.nnodes
-        self._ingested_nodes = g.nnodes
-        self._ingested_factors = g.nfactors
 
         if plan is None:
+            # Plan overflow -> batch fallback.  This step's new nodes/factors
+            # were never ingested in-kernel: flush any queued bundle first
+            # (its in-kernel appends must land before ours), then host-ingest
+            # the tail (advances the markers) and apply odometry seeds
+            # device-side so the epoch sees the reference's seeded states
+            # (aprilsam_demo.c:180-191).
+            self._dispatch_queue()
+            self._ingest(g)
+            self._apply_seeds(seeds)
             self.steps_done += 1
             return self._run_batch(g, record_time=True)
+
+        self._ingested_nodes = g.nnodes
+        self._ingested_factors = g.nfactors
 
         # track panels dirtied by this step's frontal scatter
         PANEL = self.cfg.panel_nodes
@@ -1134,6 +1162,12 @@ class IncrementalSolver:
         """Per-optimize chi2 values from the device-side metric ring."""
         self._dispatch_queue()
         n = int(self.ds.log_ptr)
+        LOG = self.ds.chi2_log.shape[0]
+        if n > LOG:
+            raise RuntimeError(
+                f"chi2 metric ring overflowed ({n} entries, capacity {LOG}); "
+                "writes past capacity were dropped — raise "
+                "SolverConfig.metric_log_capacity for this replay length")
         return np.asarray(jax.device_get(self.ds.chi2_log))[:n]
 
     def describe_tree(self, max_nodes: int = 50) -> str:

@@ -99,7 +99,7 @@ def init_device_state(cfg: SolverConfig) -> DeviceState:
         n_pos=jnp.int32(0),
         start_over=jnp.int32(0),
         nnodes=jnp.int32(0),
-        chi2_log=f(2 * NCAP),
+        chi2_log=f(cfg.effective_log_capacity),
         log_ptr=jnp.int32(0),
         Tinv=jnp.broadcast_to(
             jnp.eye(3 * cfg.panel_nodes, dtype=dt),

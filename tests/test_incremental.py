@@ -267,3 +267,113 @@ def test_bundled_matches_unbundled():
     st4, h4 = replay(4)
     np.testing.assert_allclose(st4, st1, atol=1e-12)
     np.testing.assert_allclose(h4, h1, atol=1e-12)
+
+
+@pytest.mark.parametrize("backend", ["device", "host"])
+def test_plan_overflow_fallback_ingests_new_factors(backend):
+    """A step whose plan overflows (> new_factor_capacity factors at once)
+    falls back to a batch epoch.  The step's new nodes/factors must be
+    ingested into device state before that epoch: the solver's device-side
+    chi2 must match the host graph chi2 afterwards, and later steps must
+    keep seeing those factors."""
+    if backend == "host":
+        from aprilsam_tpu import native
+
+        if not native.available():
+            pytest.skip("native module not built")
+    n = 30
+    g = chain_graph(n, y_noise=0.05, seed=7)
+    s = IncrementalSolver(small_cfg(nthreshold=10**9, batch_backend=backend))
+    s.solve(g)
+
+    # add one new pose + a burst of loop closures exceeding
+    # new_factor_capacity (16) -> plan_step raises OverflowError
+    from aprilsam_tpu.geometry import np_xyt_mul
+    from aprilsam_tpu.solver.incremental import SeedSpec
+
+    z = np.array([1.0, 0.0, 0.0])
+    seeded = np_xyt_mul(np.asarray(s.ds.state[n - 1]), z)
+    g.add_node(seeded, init=seeded)
+    g.add_factor_xyt(n - 1, n, z, W_ODO)
+    rng = np.random.default_rng(11)
+    for a in rng.choice(n - 2, size=18, replace=False):
+        zc = np_xyt_inv_mul(g.init[a], g.init[n]) + np.array([0.05, -0.02, 0.01])
+        g.add_factor_xyt(int(a), n, zc, W_ODO)
+    info = s.update(g, seeds=[SeedSpec(src=n - 1, dst=n, z=z, invert=False)])
+    assert s.last_path == "batch"
+
+    s.sync_states(g)
+    host_chi2 = g.chi2()
+    assert abs(info.chi2 - host_chi2) < 1e-6 * (1.0 + abs(host_chi2))
+    # device metric must also include the burst factors
+    assert abs(s.chi2() - host_chi2) < 1e-6 * (1.0 + abs(host_chi2))
+
+    # subsequent incremental step still consistent
+    seeded2 = np_xyt_mul(np.asarray(s.ds.state[n]), z)
+    g.add_node(seeded2, init=seeded2)
+    g.add_factor_xyt(n, n + 1, z, W_ODO)
+    s.update(g, seeds=[SeedSpec(src=n, dst=n + 1, z=z, invert=False)])
+    s.flush(g)
+    s.sync_states(g)
+    assert abs(s.chi2() - g.chi2()) < 1e-6 * (1.0 + abs(g.chi2()))
+
+
+def test_bundled_batch_fallback_consistency():
+    """Batch fallbacks triggered from INSIDE a bundle (log_mode=2 lagged
+    path) must leave solver state consistent: device chi2 == host graph chi2
+    at the end, and the trajectory converges like the synchronous run."""
+    import dataclasses
+
+    n = 40
+    g = chain_graph(n, y_noise=0.3, seed=5)
+    for (a, b) in [(2, 20), (5, 30), (1, 25), (12, 38), (3, 35)]:
+        z = np_xyt_inv_mul(g.init[a], g.init[b]) + np.array([0.3, -0.2, 0.05])
+        g.add_factor_xyt(a, b, z, W_ODO)
+
+    def replay(bundle, lag):
+        cfg = dataclasses.replace(
+            small_cfg(nthreshold=2), bundle_size=bundle, policy_lag=lag)
+        s = IncrementalSolver(cfg)
+        live = FactorGraph()
+        by_max = [[] for _ in range(n)]
+        for f in range(g.nfactors):
+            a, b = g.fnodes[f]
+            by_max[int(max(a, b))].append(f)
+        from aprilsam_tpu.solver.incremental import SeedSpec
+
+        batches = 0
+        for k in range(n):
+            live.add_node(g.init[k], init=g.init[k])
+            seeds = []
+            for f in by_max[k]:
+                a, b = (int(v) for v in g.fnodes[f])
+                if b >= 0:
+                    if abs(a - b) == 1:
+                        if a < b:
+                            seeds.append(SeedSpec(a, b, g.fz[f], False))
+                        else:
+                            seeds.append(SeedSpec(b, a, g.fz[f], True))
+                    live.add_factor_xyt(a, b, g.fz[f], g.fW[f])
+                else:
+                    live.add_factor_xytpos(a, g.fz[f], g.fW[f])
+            if k == 0:
+                s.solve(live)
+            else:
+                before = s._batch_serial
+                s.update(live, seeds=seeds)
+                batches += s._batch_serial - before
+        s.flush(live)
+        s.sync_states(live)
+        return s, live, batches
+
+    s_sync, live_sync, _ = replay(bundle=1, lag=0)
+    s_bund, live_bund, batches_bund = replay(bundle=4, lag=4)
+
+    # fallbacks actually fired inside bundles
+    assert batches_bund + (s_bund._batch_serial) > 1
+    # state consistency: device metric == host graph chi2 (no lost factors)
+    assert abs(s_bund.chi2() - live_bund.chi2()) < 1e-9 * (1 + live_bund.chi2())
+    assert abs(s_sync.chi2() - live_sync.chi2()) < 1e-9 * (1 + live_sync.chi2())
+    # both converge to the same optimum neighborhood (decision lag shifts
+    # WHERE batches land, not what they converge to)
+    assert abs(s_bund.chi2() - s_sync.chi2()) < 0.5 * (1 + s_sync.chi2())
