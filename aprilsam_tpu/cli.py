@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--node_capacity", type=int, default=4096)
     ap.add_argument("--no_wallclock_gate", action="store_true",
                     help="disable the batch_time/3 wall-clock fallback gate")
+    ap.add_argument("--show_timing", action="store_true",
+                    help="print per-step stage timing (plan/dispatch/policy), "
+                         "the reference's show_timing (aprilsam.h:245)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="print one summary JSON line at the end")
@@ -81,6 +84,7 @@ def main(argv=None) -> int:
         node_capacity=args.node_capacity,
         factor_capacity=max(8192, args.node_capacity * 2),
         wallclock_gate=not args.no_wallclock_gate,
+        show_timing=args.show_timing,
     )
     rep = Replay(loaded, cfg, batch_update_only=args.batch_update_only)
     res = rep.run(max_steps=args.max_steps, verbose=not args.quiet)

@@ -178,6 +178,9 @@ class Replay:
                     f"Step running time: {res.step_ms:.3f} ms, "
                     f"Total running time: {res.total_ms:.3f} ms"
                 )
+                tp = getattr(self.solver, "tp", None)
+                if tp is not None and len(tp.stamps) > 1:
+                    print(tp.display())
             n += 1
         self.finish()
         return self.results

@@ -753,6 +753,9 @@ class _Pending:
     stats: jax.Array             # [3] or a whole bundle's [B, 3]
     dispatched_after_batch: int  # batch-epoch serial at dispatch time
     row: int = -1                # row within a bundle stats array (-1: 1-D)
+    step_ms: float = 0.0         # wall-clock estimate for the deferred gate
+                                 # (dispatch-to-dispatch interval / bundle
+                                 # size; 0.0 = unknown, gate inactive)
 
 
 class IncrementalSolver:
@@ -781,6 +784,13 @@ class IncrementalSolver:
         self._pending: deque = deque()
         self._queue: list = []       # planned-but-undispatched bundle slots
         self._queue_sig = None
+        # wall-clock of the previous dispatch: the dispatch-to-dispatch
+        # interval divided by bundle size is the deferred-mode estimate of
+        # per-step time feeding the batch_time/3 gate (aprilsam.c:557-559)
+        self._last_dispatch_t: Optional[float] = None
+        from ..utils.timeprofile import TimeProfile
+
+        self.tp = TimeProfile() if self.cfg.show_timing else None
         # panels whose R rows changed since their cached inverse was built
         self._dirty_panels: set = set(range(
             self.cfg.node_capacity // self.cfg.panel_nodes))
@@ -858,10 +868,15 @@ class IncrementalSolver:
             except OverflowError:
                 self._grow_row_capacity()
         jax.block_until_ready(self.ds.state)
+        if self.tp is not None:
+            self.tp.stamp("batch_epoch")
         if record_time:
             # param->batch_time is recorded only when a batch is triggered
             # from the incremental path (aprilsam.c:568-572)
             self.batch_time_ms = (time.perf_counter() - t0) * 1e3
+        # the next dispatch interval would include this epoch's time;
+        # restart the deferred-gate clock
+        self._last_dispatch_t = None
         self.factor_num = g.nfactors
         self.node_num = g.nnodes
         self.last_path = "batch"
@@ -888,9 +903,15 @@ class IncrementalSolver:
         spd = bool(stats[2] > 0.5)
         if serial != self._batch_serial:
             return None  # stats predate the last batch epoch; counters reset
-        if (self.cfg.wallclock_gate and self.cfg.policy_lag == 0
+        if (self.cfg.wallclock_gate and step_ms > 0.0
+                and self.batch_time_ms > 0.0
                 and step_ms > self.batch_time_ms * self.cfg.batch_time_fraction):
-            start_over = INT_MAX  # aprilsam.c:557-559
+            # aprilsam.c:557-559.  In synchronous mode step_ms is the true
+            # step wall-clock; in deferred/bundled mode it is the
+            # dispatch-to-dispatch interval averaged over the bundle (the
+            # steady-state pipeline throughput), so the real-time contract
+            # survives async dispatch.
+            start_over = INT_MAX
         if self.cfg.check_spd and not spd:
             start_over = INT_MAX
         if start_over > self.cfg.nthreshold:  # aprilsam.c:566-575
@@ -905,7 +926,7 @@ class IncrementalSolver:
             stats = np.asarray(p.stats)  # cached on the array after first use
             if p.row >= 0:
                 stats = stats[p.row]
-            self._apply_policy(stats, p.dispatched_after_batch, 0.0, g)
+            self._apply_policy(stats, p.dispatched_after_batch, p.step_ms, g)
 
     def update(self, g: FactorGraph,
                seeds: Sequence[SeedSpec] = ()) -> Optional[BatchInfo]:
@@ -921,6 +942,8 @@ class IncrementalSolver:
             self._dispatch_queue()
             return BatchInfo(chi2=float(state_chi2(self.ds)), spd=True, n=0)
 
+        if self.tp is not None:
+            self.tp.reset()
         t0 = time.perf_counter()
         try:
             plan = plan_step(self.sym, self.cfg, g, self.factor_num,
@@ -929,6 +952,8 @@ class IncrementalSolver:
             plan = None
         self.factor_num = g.nfactors
         self.node_num = g.nnodes
+        if self.tp is not None:
+            self.tp.stamp("plan")
 
         if plan is None:
             # Plan overflow -> batch fallback.  This step's new nodes/factors
@@ -981,11 +1006,17 @@ class IncrementalSolver:
             self.steps_done += 1
             if len(self._queue) >= cap:
                 self._dispatch_queue()
+                if self.tp is not None:
+                    self.tp.stamp("dispatch_bundle")
             self._drain_pending(g)
+            if self.tp is not None:
+                self.tp.stamp("drain_policy")
             return None
 
         stats = self._dispatch_one(plan, dirty, n_dirty, sig)
         self.steps_done += 1
+        if self.tp is not None:
+            self.tp.stamp("dispatch")
 
         if self.cfg.policy_lag == 0:
             s = np.asarray(stats)
@@ -997,11 +1028,22 @@ class IncrementalSolver:
                              n=g.nnodes)
         else:
             self._pending.append(
-                _Pending(self.steps_done - 1, stats, self._batch_serial))
+                _Pending(self.steps_done - 1, stats, self._batch_serial,
+                         step_ms=self._mark_dispatch(1)))
             self._drain_pending(g)
             return None
 
     # ------------------------------------------------------- dispatching
+
+    def _mark_dispatch(self, k: int) -> float:
+        """Advance the dispatch clock; return the per-step wall-clock estimate
+        (previous dispatch-to-dispatch interval / k) for the deferred gate."""
+        now = time.perf_counter()
+        step_ms = 0.0
+        if self._last_dispatch_t is not None and k > 0:
+            step_ms = (now - self._last_dispatch_t) * 1e3 / k
+        self._last_dispatch_t = now
+        return step_ms
 
     def _dispatch_one(self, plan: StepPlan, dirty, n_dirty, sig):
         K = self.cfg.new_factor_capacity
@@ -1040,7 +1082,8 @@ class IncrementalSolver:
             plan, dirty, n_dirty = self._queue[0]
             stats = self._dispatch_one(plan, dirty, n_dirty, sig)
             self._pending.append(
-                _Pending(self.steps_done - 1, stats, self._batch_serial))
+                _Pending(self.steps_done - 1, stats, self._batch_serial,
+                         step_ms=self._mark_dispatch(1)))
             self._queue.clear()
             self._queue_sig = None
             return
@@ -1081,11 +1124,13 @@ class IncrementalSolver:
                 delta_theta=float(self.cfg.delta_theta))
 
         base = self.steps_done - k
+        step_ms = self._mark_dispatch(k)
         for i in range(k):
             # keep the whole bundle stats array; row-slice on the host after
             # the (single, cached) transfer instead of per-row device slices
             self._pending.append(
-                _Pending(base + i, stats, self._batch_serial, row=i))
+                _Pending(base + i, stats, self._batch_serial, row=i,
+                         step_ms=step_ms))
         self._queue.clear()
         self._queue_sig = None
 
@@ -1150,6 +1195,7 @@ class IncrementalSolver:
             self._pending.clear()  # dead stats carry nothing
             count += 1
         jax.block_until_ready(self.ds.state)
+        self._last_dispatch_t = None  # precompile must not skew the gate clock
         return count
 
     # ---------------------------------------------------------------

@@ -377,3 +377,57 @@ def test_bundled_batch_fallback_consistency():
     # both converge to the same optimum neighborhood (decision lag shifts
     # WHERE batches land, not what they converge to)
     assert abs(s_bund.chi2() - s_sync.chi2()) < 0.5 * (1 + s_sync.chi2())
+
+
+def test_deferred_wallclock_gate_fires():
+    """The batch_time/3 wall-clock gate (aprilsam.c:557-559) must work in
+    deferred/bundled mode too: per-step time is estimated from the
+    dispatch-to-dispatch interval, so an artificially tiny batch_time makes
+    every bundle exceed the gate and force a batch epoch."""
+    import dataclasses
+
+    n = 40
+    g = chain_graph(n, y_noise=0.05, seed=7)
+
+    def replay(gate):
+        cfg = dataclasses.replace(
+            small_cfg(nthreshold=10**9),
+            bundle_size=4, policy_lag=4, wallclock_gate=gate)
+        s = IncrementalSolver(cfg)
+        live = FactorGraph()
+        by_max = [[] for _ in range(n)]
+        for f in range(g.nfactors):
+            a, b = g.fnodes[f]
+            by_max[int(max(a, b))].append(f)
+        from aprilsam_tpu.solver.incremental import SeedSpec
+
+        forced = False
+        for k in range(n):
+            live.add_node(g.init[k], init=g.init[k])
+            seeds = []
+            for f in by_max[k]:
+                a, b = (int(v) for v in g.fnodes[f])
+                if b >= 0:
+                    if abs(a - b) == 1:
+                        if a < b:
+                            seeds.append(SeedSpec(a, b, g.fz[f], False))
+                        else:
+                            seeds.append(SeedSpec(b, a, g.fz[f], True))
+                    live.add_factor_xyt(a, b, g.fz[f], g.fW[f])
+                else:
+                    live.add_factor_xytpos(a, g.fz[f], g.fW[f])
+            if k == 0:
+                s.solve(live)
+                # pretend the batch was instantaneous: every subsequent step
+                # estimate then exceeds batch_time/3 and must trip the gate
+                s.batch_time_ms = 1e-6
+            else:
+                s.update(live, seeds=seeds)
+                if s._batch_serial > 1 and not forced:
+                    forced = True
+                    # keep it armed so we only need one firing to pass
+        s.flush(live)
+        return s._batch_serial
+
+    assert replay(gate=True) > 1      # gate fired in deferred mode
+    assert replay(gate=False) == 1    # and only because of the gate
