@@ -131,6 +131,17 @@ def gn_blocks_xytpos(ev: XytposEval, W):
     return W, g
 
 
+def _quad_form(W, r0, r1, r2):
+    """sum_ij W_ij r_i r_j with W used exactly as stored (no symmetrization,
+    matching april_graph_xyt.c:112-121), expanded per column so the whole
+    chain stays one elementwise fusion (no [F,3,3] x [F,3] contraction)."""
+    return (W[:, 0, 0] * r0 * r0 + W[:, 1, 1] * r1 * r1
+            + W[:, 2, 2] * r2 * r2
+            + (W[:, 0, 1] + W[:, 1, 0]) * r0 * r1
+            + (W[:, 0, 2] + W[:, 2, 0]) * r0 * r2
+            + (W[:, 1, 2] + W[:, 2, 1]) * r1 * r2)
+
+
 def graph_chi2(states, xyt_a, xyt_b, xyt_z, xyt_W, pos_idx, pos_z, pos_W,
                xyt_valid=None, pos_valid=None):
     """Fused total-graph chi2 at `states`, replicating the reference's
@@ -138,15 +149,33 @@ def graph_chi2(states, xyt_a, xyt_b, xyt_z, xyt_W, pos_idx, pos_z, pos_W,
     (april_graph_chi2, april_graph.c:79-98).
 
     Optional boolean masks support padded factor tables (fixed shapes across
-    incremental steps).
+    incremental steps).  Written column-scalarized: per-step cost is bounded
+    by kernel-launch count on TPU, and this form fuses into a handful of
+    kernels (two gathers + one elementwise chain + reductions) instead of
+    the ~30 that the generic eval produces.
     """
     total = jnp.zeros((), dtype=states.dtype)
     if xyt_a.shape[0]:
-        ev = eval_xyt(states, xyt_a, xyt_b, xyt_z, xyt_W)
-        c = ev.chi2 if xyt_valid is None else jnp.where(xyt_valid, ev.chi2, 0.0)
+        pa = states[xyt_a]
+        pb = states[xyt_b]
+        ta = pa[:, 2]
+        ca, sa = jnp.cos(ta), jnp.sin(ta)
+        dx = pb[:, 0] - pa[:, 0]
+        dy = pb[:, 1] - pa[:, 1]
+        r0 = xyt_z[:, 0] - (ca * dx + sa * dy)
+        r1 = xyt_z[:, 1] - (-sa * dx + ca * dy)
+        r2 = mod2pi(xyt_z[:, 2] - (pb[:, 2] - ta))
+        c = _quad_form(xyt_W, r0, r1, r2)
+        if xyt_valid is not None:
+            c = jnp.where(xyt_valid, c, 0.0)
         total = total + 0.5 * jnp.sum(c)
     if pos_idx.shape[0]:
-        ev = eval_xytpos(states, pos_idx, pos_z, pos_W)
-        c = ev.chi2 if pos_valid is None else jnp.where(pos_valid, ev.chi2, 0.0)
+        s = states[pos_idx]
+        r0 = pos_z[:, 0] - s[:, 0]
+        r1 = pos_z[:, 1] - s[:, 1]
+        r2 = mod2pi(pos_z[:, 2] - s[:, 2])
+        c = _quad_form(pos_W, r0, r1, r2)
+        if pos_valid is not None:
+            c = jnp.where(pos_valid, c, 0.0)
         total = total + jnp.sum(c)
     return total

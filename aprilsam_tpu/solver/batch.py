@@ -142,7 +142,7 @@ def _batch_step(
         blocks, mode="drop"
     )
 
-    y_full = jnp.zeros(NCAP * 3, dtype=dtype).at[: MB * 3].set(y)
+    y_full = jnp.zeros((NCAP, 3), dtype=dtype).at[:MB].set(y.reshape(MB, 3))
 
     # full-diagonal SPD check: any non-SPD pivot anywhere in the 3*MB
     # factorization NaNs its diagonal entry (padding rows carry tikhonov on

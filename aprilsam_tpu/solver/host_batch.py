@@ -98,8 +98,8 @@ def host_batch_epoch(
     R_idx[:nnodes] = idx
     R_nnz = np.zeros(NCAP, dtype=np.int32)
     R_nnz[:nnodes] = nnz
-    y_full = np.zeros(NCAP * 3, dtype=dt)
-    y_full[: 3 * nnodes] = y
+    y_full = np.zeros((NCAP, 3), dtype=dt)
+    y_full[:nnodes] = np.asarray(y).reshape(nnodes, 3)
     st = np.asarray(ds.state)
     st_new = st.copy()
     st_new[:nnodes] = new_states

@@ -172,6 +172,16 @@ def plan_step(
 
     # 1. extend ordering with new nodes (aprilsam.c:392-397)
     new_ids = list(range(n_old, g.nnodes))
+    # dedup seeds last-wins per destination (the reference applies them in
+    # factor order, aprilsam_demo.c:180-191; the kernel applies them as one
+    # vectorized scatter, so duplicates must be resolved here).  Seed sources
+    # are always pre-existing nodes (the reference seeds the new endpoint
+    # from the old one), which the vectorized gather relies on.
+    by_dst = {}
+    for s in seeds:
+        assert s.src < n_old, "seed source must be a pre-existing node"
+        by_dst[s.dst] = s
+    seeds = list(by_dst.values())
     if len(new_ids) > KNODE or len(seeds) > KSEED:
         raise OverflowError("too many new nodes/seeds in one step")
     sym_mod.append_nodes(sym, new_ids)
@@ -333,18 +343,21 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
     l_point = ds.l_point.at[dst_nodes].set(node_states, mode="drop")
     delta_X = ds.delta_X.at[dst_nodes].set(0.0, mode="drop")
 
+    # Odometry seeding, vectorized: plan_step dedups seeds (last-wins per
+    # dst, aprilsam_demo.c:180-191 applies them in factor order) and srcs are
+    # always pre-existing nodes, so one gather + one scatter suffices.
     seed_src = _unpack(ints, off_i, "seed_src")
     seed_dst = _unpack(ints, off_i, "seed_dst")
     seed_inv = _unpack(ints, off_i, "seed_inv")
     seed_z = _unpack(floats, off_f, "seed_z", (KSEED, 3)).astype(dtype)
-    for i in range(KSEED):
-        ok = i < n_seeds
-        src = jnp.clip(seed_src[i], 0, NCAP - 1)
-        z = jnp.where(seed_inv[i] > 0, xyt_inv(seed_z[i]), seed_z[i])
-        seeded = xyt_mul(state[src], z)
-        dst = jnp.where(ok, seed_dst[i], NCAP)
-        state = state.at[dst].set(seeded, mode="drop")
-        l_point = l_point.at[dst].set(seeded, mode="drop")
+    sv = jnp.arange(KSEED, dtype=jnp.int32) < n_seeds
+    src_states = state[jnp.clip(seed_src, 0, NCAP - 1)]        # [KSEED, 3]
+    z_eff = jnp.where((seed_inv > 0)[:, None],
+                      jax.vmap(xyt_inv)(seed_z), seed_z)
+    seeded = jax.vmap(xyt_mul)(src_states, z_eff)
+    sdst = jnp.where(sv, seed_dst, NCAP)
+    state = state.at[sdst].set(seeded, mode="drop")
+    l_point = l_point.at[sdst].set(seeded, mode="drop")
 
     # ---------------- new factor table appends
     nf_a = _unpack(ints, off_i, "nf_a")
@@ -378,6 +391,9 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
     )
 
     # ---------------- frontal gather
+    # Grid scatters/gathers are replaced by one-hot einsums: TPU lowers a
+    # [M, BCAP]-indexed scatter to a serialized scatter kernel (~ms), while
+    # the equivalent one-hot contraction is a single MXU matmul (~us).
     F_pos = _unpack(ints, off_i, "F_pos")
     gather_fc = maps[0]
     scat_fc = maps[1]
@@ -388,19 +404,16 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
     scalar_valid = jnp.repeat(row_valid, 3)
 
     rows = ds.R_blocks[jnp.clip(F_pos, 0, NCAP - 1)]
-    rows = jnp.where(row_valid[:, None, None, None], rows, 0.0)
-    r_ids = jnp.broadcast_to(jnp.arange(M)[:, None], (M, BCAP))
-    fc_ok = gather_fc >= 0
-    fc_safe = jnp.where(fc_ok, gather_fc, M)
-    RF = jnp.zeros((M, M + 1, 3, 3), dtype=dtype)
-    RF = RF.at[r_ids, fc_safe].set(jnp.where(fc_ok[..., None, None], rows, 0.0))
-    R_dense = RF[:, :M].transpose(0, 2, 1, 3).reshape(K3, K3)
+    oh_g = jax.nn.one_hot(jnp.clip(gather_fc, 0, M), M, dtype=dtype)
+    oh_g = oh_g * ((gather_fc >= 0) & row_valid[:, None])[..., None]
+    RF = jnp.einsum("rbij,rbc->rcij", rows, oh_g)          # [M, M, 3, 3]
+    R_dense = RF.transpose(0, 2, 1, 3).reshape(K3, K3)
     R_dense = R_dense + jnp.where(scalar_valid, 0.0, 1.0) * jnp.eye(
         K3, dtype=dtype)
 
-    yscal = (3 * jnp.clip(F_pos, 0, NCAP - 1)[:, None]
-             + jnp.arange(3)[None, :]).reshape(-1)
-    y_F = jnp.where(scalar_valid, ds.y[yscal], 0.0)
+    y_F = jnp.where(
+        row_valid[:, None], ds.y[jnp.clip(F_pos, 0, NCAP - 1)], 0.0
+    ).reshape(K3)
 
     # ---------------- stacked square-root measurement rows
     # (aprilsam.c:508-542 as a QR factor update; see module docstring)
@@ -460,19 +473,16 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
 
     # gated forward solve on y (aprilsam.c:702-719): y' = Q^T d
     y_new = sgn * (Q.T @ d_stack)
-    y_out = ds.y.at[jnp.where(scalar_valid, yscal, NCAP * 3)].set(
-        y_new, mode="drop")
-
-    # ---------------- scatter R' back on the NEW pattern
-    Rt = R_up.reshape(M, 3, M, 3).transpose(0, 2, 1, 3)
-    sc_ok = scat_fc >= 0
-    sc_safe = jnp.clip(scat_fc, 0, M - 1)
-    newblocks = jnp.where(sc_ok[..., None, None], Rt[r_ids, sc_safe], 0.0)
     dest_rows = jnp.where(row_valid, F_pos, NCAP)
-    R_blocks = ds.R_blocks.at[
-        jnp.broadcast_to(dest_rows[:, None], (M, BCAP)),
-        jnp.broadcast_to(jnp.arange(BCAP)[None, :], (M, BCAP)),
-    ].set(newblocks, mode="drop")
+    y_out = ds.y.at[dest_rows].set(y_new.reshape(M, 3), mode="drop")
+
+    # ---------------- scatter R' back on the NEW pattern (one-hot gather of
+    # the frontal columns per slot, then ONE row-level scatter)
+    Rt = R_up.reshape(M, 3, M, 3).transpose(0, 2, 1, 3)   # [M, M, 3, 3]
+    oh_s = jax.nn.one_hot(jnp.clip(scat_fc, 0, M), M, dtype=dtype)
+    oh_s = oh_s * (scat_fc >= 0)[..., None]               # [M, BCAP, M]
+    newblocks = jnp.einsum("rcij,rbc->rbij", Rt, oh_s)    # [M, BCAP, 3, 3]
+    R_blocks = ds.R_blocks.at[dest_rows].set(newblocks, mode="drop")
     R_idx = ds.R_idx.at[dest_rows].set(new_Ridx, mode="drop")
     R_nnz = ds.R_nnz.at[dest_rows].set(new_Rnnz, mode="drop")
 
@@ -527,14 +537,13 @@ def _fast_body(ds: DeviceState, ints, floats, maps, fringe_fc,
     # (solve_node visits them once and prunes, aprilsam.c:752-771)
     fr_valid = jnp.arange(MAXFR, dtype=jnp.int32) < n_fringe
     fr_rows = ds.R_blocks[jnp.clip(fringe_pos, 0, NCAP - 1)]
-    fc_ok = fringe_fc >= 0
-    xF_blocks = dxF[jnp.clip(fringe_fc, 0, M - 1)]
-    contrib = jnp.einsum("kbij,kbj->kbi", fr_rows,
-                         jnp.where(fc_ok[..., None], xF_blocks, 0.0))
-    off = jnp.sum(contrib[:, 1:], axis=1)
-    yscal_fr = (3 * jnp.clip(fringe_pos, 0, NCAP - 1)[:, None]
-                + jnp.arange(3)[None, :])
-    y_fr = ds.y[yscal_fr]
+    # beyond-diagonal contribution via one-hot contraction (slot 0 is the
+    # fringe node's own diagonal, fringe_fc == -1 there, masked out)
+    oh_f = jax.nn.one_hot(jnp.clip(fringe_fc, 0, M), M, dtype=dtype)
+    oh_f = oh_f * (fringe_fc >= 0)[..., None]             # [FR, BCAP, M]
+    xw = jnp.einsum("kbc,cj->kbj", oh_f, dxF)
+    off = jnp.einsum("kbij,kbj->ki", fr_rows, xw)
+    y_fr = ds.y[jnp.clip(fringe_pos, 0, NCAP - 1)]
     from ..kernels.linalg3 import solve_upper3
 
     T = fr_rows[:, 0] + jnp.eye(3, dtype=dtype) * jnp.where(
@@ -603,46 +612,8 @@ def inc_bundle_fast(ds: DeviceState, ints_b, floats_b, maps_b, ffc_b,
     return jax.lax.scan(body, ds, (ints_b, floats_b, maps_b, ffc_b))
 
 
-def _gather_panel_triangle(ds: DeviceState, p0, PANEL: int, n):
-    """Dense upper triangle of the panel's diagonal block (identity on rows
-    past the active range)."""
-    NCAP = ds.state.shape[0]
-    BCAP = ds.R_idx.shape[1]
-    dtype = ds.R_blocks.dtype
-    rows = jax.lax.dynamic_slice_in_dim(ds.R_blocks, p0, PANEL, 0)
-    idx = jax.lax.dynamic_slice_in_dim(ds.R_idx, p0, PANEL, 0)
-    inpan = (idx >= p0) & (idx < p0 + PANEL)
-    lc = jnp.where(inpan, idx - p0, PANEL)
-    pr = jnp.broadcast_to(jnp.arange(PANEL)[:, None], (PANEL, BCAP))
-    T = jnp.zeros((PANEL, PANEL + 1, 3, 3), dtype=dtype)
-    T = T.at[pr, lc].set(jnp.where(inpan[..., None, None], rows, 0.0))
-    Td = T[:, :PANEL].transpose(0, 2, 1, 3).reshape(3 * PANEL, 3 * PANEL)
-    prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
-    active = jnp.repeat(prow < n, 3)
-    Td = Td + jnp.where(active, 0.0, 1.0) * jnp.eye(3 * PANEL, dtype=dtype)
-    return Td
-
-
-def _refresh_panel_inverses(ds: DeviceState, dirty, n_dirty, PANEL: int):
-    """Recompute Tinv for the (padded) dirty panel list: gather triangles,
-    batched triangular solve against I, scatter back."""
-    NPAN = ds.Tinv.shape[0]
-    dtype = ds.Tinv.dtype
-    DP = dirty.shape[0]
-    n = ds.nnodes
-    valid = jnp.arange(DP, dtype=jnp.int32) < n_dirty
-    pids = jnp.clip(dirty, 0, NPAN - 1)
-    Ts = jax.vmap(lambda j: _gather_panel_triangle(ds, j * PANEL, PANEL, n))(pids)
-    from ..kernels.pallas_tri import tri_inv
-
-    invs = tri_inv(Ts)
-    Tinv = ds.Tinv.at[jnp.where(valid, pids, NPAN)].set(invs, mode="drop")
-    return ds._replace(Tinv=Tinv)
-
-
 def _full_body(ds: DeviceState, ints, floats, maps, fringe_fc,
-               dirty, n_dirty,
-               MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, DP: int,
+               MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, NPANB: int,
                delta_xy: float, delta_theta: float):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
@@ -653,38 +624,44 @@ def _full_body(ds: DeviceState, ints, floats, maps, fringe_fc,
     ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_core(
         ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW)
 
-    # ---- refresh stale panel inverses (rows changed since the last full
-    # solve, including this step's frontal scatter)
-    ds = _refresh_panel_inverses(ds, dirty, n_dirty, PANEL)
-
-    # ---- panel back-substitution x = R^{-1} y over all block rows:
-    # per panel, one sparse gather-matvec for the beyond-panel columns and
-    # one dense matmul with the cached inverse triangle (MXU) — no
-    # sequential triangular solves
-    NPAN = NCAP // PANEL
+    # ---- panel back-substitution x = R^{-1} y over the ACTIVE block rows
+    # (NPANB = bucketed ceil(nnodes / PANEL), a static specialization so
+    # early-trajectory steps never sweep padding panels): per panel, one
+    # sparse gather-matvec for the beyond-panel columns, a one-hot extraction
+    # of the panel's diagonal triangle (an MXU contraction — a [PANEL, BCAP]
+    # scatter serializes on TPU), and one dense triangular solve.
     n = ds.nnodes
 
     xb = jnp.zeros((NCAP + 1, 3), dtype=dtype)
+    eye_p = jnp.eye(3 * PANEL, dtype=dtype)
 
     def panel_body(xb, j_rev):
-        j = NPAN - 1 - j_rev
+        j = NPANB - 1 - j_rev
         p0 = j * PANEL
         rows = jax.lax.dynamic_slice_in_dim(ds.R_blocks, p0, PANEL, 0)
         idx = jax.lax.dynamic_slice_in_dim(ds.R_idx, p0, PANEL, 0)
-        yp = jax.lax.dynamic_slice_in_dim(ds.y.reshape(NCAP, 3), p0, PANEL, 0)
+        yp = jax.lax.dynamic_slice_in_dim(ds.y, p0, PANEL, 0)
         beyond = idx >= (p0 + PANEL)
         xg = xb[jnp.clip(idx, 0, NCAP)]
-        acc = jnp.einsum("pbij,pbj->pbi", rows,
+        acc = jnp.einsum("pbij,pbj->pi", rows,
                          jnp.where(beyond[..., None], xg, 0.0))
-        rhs = (yp - jnp.sum(acc, axis=1)).reshape(-1)
+        rhs = (yp - acc).reshape(-1)
         prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
         active = jnp.repeat(prow < n, 3)
-        xp = ds.Tinv[j] @ jnp.where(active, rhs, 0.0)
+        # diagonal triangle of the panel
+        inpan = (idx >= p0) & (idx < p0 + PANEL)
+        oh = jax.nn.one_hot(jnp.where(inpan, idx - p0, 0), PANEL,
+                            dtype=dtype) * inpan[..., None]
+        T = jnp.einsum("pbij,pbc->pcij", rows, oh)
+        Td = T.transpose(0, 2, 1, 3).reshape(3 * PANEL, 3 * PANEL)
+        Td = Td + jnp.where(active, 0.0, 1.0) * eye_p
+        xp = jax.scipy.linalg.solve_triangular(
+            Td, jnp.where(active, rhs, 0.0), lower=False)
         xb = jax.lax.dynamic_update_slice_in_dim(
             xb, xp.reshape(PANEL, 3), p0, 0)
         return xb, None
 
-    xb, _ = jax.lax.scan(panel_body, xb, jnp.arange(NPAN))
+    xb, _ = jax.lax.scan(panel_body, xb, jnp.arange(NPANB))
     x_pos = xb[:NCAP]
 
     node_ids = jnp.arange(NCAP, dtype=jnp.int32)
@@ -711,36 +688,34 @@ def _full_body(ds: DeviceState, ints, floats, maps, fringe_fc,
 
 
 @partial(jax.jit,
-         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "DP",
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "NPANB",
                           "delta_xy", "delta_theta"),
          donate_argnames=("ds",))
 def inc_step_full(ds: DeviceState, ints, floats, maps, fringe_fc,
-                  dirty, n_dirty,
-                  MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, DP: int,
+                  MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, NPANB: int,
                   delta_xy: float, delta_theta: float):
-    return _full_body(ds, ints, floats, maps, fringe_fc, dirty, n_dirty,
-                      MAXAFF, MAXFR, KNEW, PANEL, DP, delta_xy, delta_theta)
+    return _full_body(ds, ints, floats, maps, fringe_fc,
+                      MAXAFF, MAXFR, KNEW, PANEL, NPANB,
+                      delta_xy, delta_theta)
 
 
 @partial(jax.jit,
-         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "DP",
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "NPANB",
                           "delta_xy", "delta_theta"),
          donate_argnames=("ds",))
 def inc_bundle_full(ds: DeviceState, ints_b, floats_b, maps_b, ffc_b,
-                    dirty_b, n_dirty_b,
-                    MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, DP: int,
-                    delta_xy: float, delta_theta: float):
+                    MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int,
+                    NPANB: int, delta_xy: float, delta_theta: float):
     """B consecutive full steps in one dispatch."""
 
     def body(ds, xs):
-        ints, floats, maps, ffc, dirty, n_dirty = xs
-        ds, stats = _full_body(ds, ints, floats, maps, ffc, dirty, n_dirty,
-                               MAXAFF, MAXFR, KNEW, PANEL, DP,
+        ints, floats, maps, ffc = xs
+        ds, stats = _full_body(ds, ints, floats, maps, ffc,
+                               MAXAFF, MAXFR, KNEW, PANEL, NPANB,
                                delta_xy, delta_theta)
         return ds, stats
 
-    return jax.lax.scan(
-        body, ds, (ints_b, floats_b, maps_b, ffc_b, dirty_b, n_dirty_b))
+    return jax.lax.scan(body, ds, (ints_b, floats_b, maps_b, ffc_b))
 
 
 # ======================================================================
@@ -791,9 +766,6 @@ class IncrementalSolver:
         from ..utils.timeprofile import TimeProfile
 
         self.tp = TimeProfile() if self.cfg.show_timing else None
-        # panels whose R rows changed since their cached inverse was built
-        self._dirty_panels: set = set(range(
-            self.cfg.node_capacity // self.cfg.panel_nodes))
 
     # ---------------------------------------------------------------
 
@@ -881,9 +853,6 @@ class IncrementalSolver:
         self.node_num = g.nnodes
         self.last_path = "batch"
         self._batch_serial += 1
-        # every panel's cached inverse is stale after a fresh factorization
-        self._dirty_panels = set(range(
-            self.cfg.node_capacity // self.cfg.panel_nodes))
         return info
 
     def solve(self, g: FactorGraph) -> BatchInfo:
@@ -971,30 +940,15 @@ class IncrementalSolver:
         self._ingested_nodes = g.nnodes
         self._ingested_factors = g.nfactors
 
-        # track panels dirtied by this step's frontal scatter
-        PANEL = self.cfg.panel_nodes
-        NPAN = self.cfg.node_capacity // PANEL
-        F = plan.ints[: plan.m]  # F_pos segment leads the packed vector
-        self._dirty_panels.update(int(p) // PANEL for p in F)
-
         self.last_naffected = plan.naffected
         fast = (plan.naffected <= self.cfg.small_path_max
                 and not plan.fringe_overflow)
         if fast:
             self.last_path = "fast"
             sig = ("fast", plan.MAXAFF, plan.MAXFR)
-            dirty = None
-            n_dirty = 0
-            DP = 0
         else:
             self.last_path = "full"
-            dl = sorted(self._dirty_panels)
-            DP = 8 if len(dl) <= 8 else NPAN
-            dirty = np.full(DP, NPAN, dtype=np.int32)
-            dirty[: len(dl)] = dl[:DP]
-            n_dirty = min(len(dl), DP)
-            self._dirty_panels.clear()
-            sig = ("full", plan.MAXAFF, plan.MAXFR, DP)
+            sig = ("full", plan.MAXAFF, plan.MAXFR, self._npanb(g.nnodes))
 
         B = max(1, self.cfg.bundle_size)
         if B > 1:
@@ -1002,7 +956,7 @@ class IncrementalSolver:
             if self._queue and self._queue_sig != sig:
                 self._dispatch_queue()
             self._queue_sig = sig
-            self._queue.append((plan, dirty, n_dirty))
+            self._queue.append(plan)
             self.steps_done += 1
             if len(self._queue) >= cap:
                 self._dispatch_queue()
@@ -1013,7 +967,7 @@ class IncrementalSolver:
                 self.tp.stamp("drain_policy")
             return None
 
-        stats = self._dispatch_one(plan, dirty, n_dirty, sig)
+        stats = self._dispatch_one(plan, sig)
         self.steps_done += 1
         if self.tp is not None:
             self.tp.stamp("dispatch")
@@ -1035,6 +989,17 @@ class IncrementalSolver:
 
     # ------------------------------------------------------- dispatching
 
+    def _npanb(self, nnodes: int) -> int:
+        """Static number of active sweep panels: next power of two covering
+        ceil(nnodes / PANEL), so early-trajectory full solves never sweep
+        padding panels (one specialization per doubling)."""
+        PANEL = self.cfg.panel_nodes
+        NPAN = self.cfg.node_capacity // PANEL
+        b = 1
+        while b * PANEL < nnodes and b < NPAN:
+            b *= 2
+        return min(b, NPAN)
+
     def _mark_dispatch(self, k: int) -> float:
         """Advance the dispatch clock; return the per-step wall-clock estimate
         (previous dispatch-to-dispatch interval / k) for the deferred gate."""
@@ -1045,7 +1010,7 @@ class IncrementalSolver:
         self._last_dispatch_t = now
         return step_ms
 
-    def _dispatch_one(self, plan: StepPlan, dirty, n_dirty, sig):
+    def _dispatch_one(self, plan: StepPlan, sig):
         K = self.cfg.new_factor_capacity
         ints = jnp.asarray(plan.ints)
         floats = jnp.asarray(plan.floats.astype(self.cfg.dtype))
@@ -1060,9 +1025,8 @@ class IncrementalSolver:
         else:
             self.ds, stats = inc_step_full(
                 self.ds, ints, floats, maps, ffc,
-                jnp.asarray(dirty), jnp.int32(n_dirty),
                 MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
-                PANEL=self.cfg.panel_nodes, DP=sig[3],
+                PANEL=self.cfg.panel_nodes, NPANB=sig[3],
                 delta_xy=float(self.cfg.delta_xy),
                 delta_theta=float(self.cfg.delta_theta))
         return stats
@@ -1079,8 +1043,7 @@ class IncrementalSolver:
             B = max(1, min(B, self.cfg.bundle_size_full))
         if k == 1:
             # single-slot bundles use the cheaper single-step jit
-            plan, dirty, n_dirty = self._queue[0]
-            stats = self._dispatch_one(plan, dirty, n_dirty, sig)
+            stats = self._dispatch_one(self._queue[0], sig)
             self._pending.append(
                 _Pending(self.steps_done - 1, stats, self._batch_serial,
                          step_ms=self._mark_dispatch(1)))
@@ -1088,7 +1051,7 @@ class IncrementalSolver:
             self._queue_sig = None
             return
         K = self.cfg.new_factor_capacity
-        plans = [q[0] for q in self._queue]
+        plans = self._queue
 
         def padded(getter, fill=0):
             arrs = [getter(p) for p in plans]
@@ -1108,18 +1071,10 @@ class IncrementalSolver:
                 delta_xy=float(self.cfg.delta_xy),
                 delta_theta=float(self.cfg.delta_theta))
         else:
-            DP = sig[3]
-            NPAN = self.cfg.node_capacity // self.cfg.panel_nodes
-            dirty_b = np.full((B, DP), NPAN, dtype=np.int32)
-            nd_b = np.zeros(B, dtype=np.int32)
-            for i, (_, dirty, n_dirty) in enumerate(self._queue):
-                dirty_b[i] = dirty
-                nd_b[i] = n_dirty
             self.ds, stats = inc_bundle_full(
                 self.ds, ints_b, floats_b, maps_b, ffc_b,
-                jnp.asarray(dirty_b), jnp.asarray(nd_b),
                 MAXAFF=sig[1], MAXFR=sig[2], KNEW=K,
-                PANEL=self.cfg.panel_nodes, DP=DP,
+                PANEL=self.cfg.panel_nodes, NPANB=sig[3],
                 delta_xy=float(self.cfg.delta_xy),
                 delta_theta=float(self.cfg.delta_theta))
 
@@ -1140,29 +1095,32 @@ class IncrementalSolver:
         self._dispatch_queue()
         self._drain_pending(g, block_all=True)
 
-    # Step-shape signatures observed over a full M3500 replay (fast/full,
-    # frontal bucket, fringe bucket[, dirty bucket]); precompile() drives a
-    # dead-slot bundle through each so every specialization compiles (and
-    # lands in the persistent cache) before timed steps begin.
-    # (high-frequency entries only: rare shapes compile lazily mid-run,
-    # which amortizes; the dispatch census lives in ROADMAP.md)
-    M3500_SIGNATURES = (
-        ("fast", 16, 32),
-        ("full", 16, 32, 8), ("full", 64, 32, 8), ("full", 256, 32, 8),
-        ("full", 256, 32, 32),
-    )
+    def default_signatures(self, nnodes: Optional[int] = None):
+        """Derive the high-frequency step-shape signatures from the config
+        and (optionally) the expected trajectory length: the fast bucket plus
+        every full frontal bucket at the two largest active-panel counts the
+        replay will reach.  Rare shapes compile lazily mid-run (and persist
+        in the compilation cache), which amortizes."""
+        fr = 32
+        npanb_max = self._npanb(nnodes if nnodes
+                                else self.cfg.node_capacity)
+        sigs = [("fast", self.cfg.frontal_buckets[0], fr)]
+        for b in self.cfg.frontal_buckets[:3]:
+            sigs.append(("full", b, fr, npanb_max))
+            if npanb_max > 1:
+                sigs.append(("full", b, fr, max(1, npanb_max // 2)))
+        return tuple(sigs)
 
-    def precompile(self, signatures=None) -> int:
+    def precompile(self, signatures=None, nnodes: Optional[int] = None) -> int:
         """Compile the step/bundle specializations ahead of time by running
         no-op (dead-slot) plans through each signature.  Dead slots leave all
         solver state untouched (live=False skips the chi2 ring; empty
         affected sets update nothing)."""
         from . import incremental as I
 
-        signatures = signatures or self.M3500_SIGNATURES
+        signatures = signatures or self.default_signatures(nnodes)
         K = self.cfg.new_factor_capacity
         BCAP = self.cfg.row_block_capacity
-        NPAN = self.cfg.node_capacity // self.cfg.panel_nodes
         B = max(1, self.cfg.bundle_size)
         count = 0
         for sig in signatures:
@@ -1176,21 +1134,11 @@ class IncrementalSolver:
             plan = StepPlan(m=0, naffected=0, MAXAFF=MAXAFF, MAXFR=MAXFR,
                             fringe_overflow=False, ints=ints, floats=flts,
                             maps=maps, fringe_fc=ffc)
-            if kind == "fast":
-                dirty, n_dirty = None, 0
-                full_sig = ("fast", MAXAFF, MAXFR)
-            else:
-                DP = sig[3]
-                if DP > NPAN:
-                    continue
-                dirty = np.full(DP, NPAN, dtype=np.int32)
-                n_dirty = 0
-                full_sig = ("full", MAXAFF, MAXFR, DP)
             # compile the single-step jit AND (when bundling) the bundle jit
-            self._dispatch_one(plan, dirty, n_dirty, full_sig)
+            self._dispatch_one(plan, sig)
             if B > 1:
-                self._queue_sig = full_sig
-                self._queue = [(plan, dirty, n_dirty)] * 2
+                self._queue_sig = sig
+                self._queue = [plan] * 2
                 self._dispatch_queue()
             self._pending.clear()  # dead stats carry nothing
             count += 1

@@ -32,8 +32,9 @@ class DeviceState(NamedTuple):
     R_blocks: jax.Array      # [NCAP, BCAP, 3, 3]
     R_idx: jax.Array         # [NCAP, BCAP] int32, sentinel = NCAP
     R_nnz: jax.Array         # [NCAP] int32
-    y: jax.Array             # [NCAP * 3]  (forward-solve intermediate, kept
-                             #  across steps like param->y, aprilsam.c:293-298)
+    y: jax.Array             # [NCAP, 3]  (forward-solve intermediate, kept
+                             #  across steps like param->y, aprilsam.c:293-298;
+                             #  row layout so updates are row-level scatters)
 
     # --- node state (node-id space) ---
     state: jax.Array         # [NCAP, 3]
@@ -62,12 +63,6 @@ class DeviceState(NamedTuple):
     chi2_log: jax.Array      # [LOGCAP]
     log_ptr: jax.Array       # int32 scalar
 
-    # --- cached inverses of the panel diagonal triangles of R ---
-    # [NPAN, 3*PANEL, 3*PANEL]; the full-path back-substitution multiplies
-    # by these instead of running sequential triangular solves.  Panels
-    # whose rows change are refreshed lazily before the next full solve.
-    Tinv: jax.Array
-
 
 def init_device_state(cfg: SolverConfig) -> DeviceState:
     NCAP = cfg.node_capacity
@@ -81,7 +76,7 @@ def init_device_state(cfg: SolverConfig) -> DeviceState:
         R_blocks=f(NCAP, BCAP, 3, 3),
         R_idx=jnp.full((NCAP, BCAP), NCAP, dtype=jnp.int32),
         R_nnz=i(NCAP),
-        y=f(NCAP * 3),
+        y=f(NCAP, 3),
         state=f(NCAP, 3),
         l_point=f(NCAP, 3),
         delta_X=f(NCAP, 3),
@@ -101,11 +96,6 @@ def init_device_state(cfg: SolverConfig) -> DeviceState:
         nnodes=jnp.int32(0),
         chi2_log=f(cfg.effective_log_capacity),
         log_ptr=jnp.int32(0),
-        Tinv=jnp.broadcast_to(
-            jnp.eye(3 * cfg.panel_nodes, dtype=dt),
-            (NCAP // cfg.panel_nodes, 3 * cfg.panel_nodes,
-             3 * cfg.panel_nodes),
-        ),
     )
 
 

@@ -85,7 +85,7 @@ def worker() -> int:
     # the timed region (entries persist in the compilation cache)
     warm = Replay(loaded, cfg, batch_update_only=False, deferred=True)
     warm.run(max_steps=60)
-    warm.solver.precompile()
+    warm.solver.precompile(nnodes=loaded.nnodes)
     del warm
 
     rep = Replay(loaded, cfg, batch_update_only=False, deferred=True)
