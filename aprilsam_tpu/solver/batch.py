@@ -161,6 +161,7 @@ def _batch_step(
         pos=pos_new,
         order=order_new,
         start_over=jnp.int32(0),
+        spd_ok=jnp.asarray(True),
     )
     chi2 = state_chi2(ds)
     LOG = ds.chi2_log.shape[0]

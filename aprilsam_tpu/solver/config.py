@@ -37,6 +37,14 @@ class SolverConfig:
     # host<->device round trip with compute (the wall-clock gate is then
     # inactive, as there is no per-step device sync to time).
     policy_lag: int = 0
+    # In lagged mode, materialize (device->host) policy stats only once per
+    # this many due entries.  The counters are cumulative on device
+    # (start_over monotone since last batch, spd AND-accumulated), so reading
+    # only the newest due entry is exact — older entries are dropped without
+    # a transfer.  Raising this amortizes the d2h round trip (which costs
+    # ~1 ms through the TPU relay) at the price of up to
+    # policy_poll * bundle_size extra steps of decision lag.
+    policy_poll: int = 1
     # Consecutive same-shaped incremental steps dispatched as ONE device call
     # (lax.scan bundle).  1 = off.  Bundling adds up to bundle_size extra
     # steps of policy lag; per-step chi2 logging is unaffected.  Full-path
@@ -58,6 +66,11 @@ class SolverConfig:
     check_spd: bool = True         # trigger batch fallback on non-SPD frontal
                                    # (fixes the reference's ignored is_spd flag,
                                    # smatd.c:669-699)
+    # Per-step chi2 logging into the device metric ring.  The reference
+    # computes chi2 OUTSIDE its step timer (aprilsam_demo.c:101-115, 229), so
+    # benchmark replays disable this (the full-table chi2 reduction costs
+    # ~0.6 ms/step on TPU) and read chi2 once at the end; parity runs keep it.
+    log_chi2: bool = True
 
     # --- capacities (static shapes; grow => recompile) ---
     node_capacity: int = 4096      # max nodes before reallocation

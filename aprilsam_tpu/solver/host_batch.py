@@ -139,6 +139,7 @@ def host_batch_epoch(
         pos=jnp.asarray(pos_full),
         order=jnp.asarray(order_full),
         start_over=jnp.int32(0),
+        spd_ok=jnp.asarray(True),
         chi2_log=chi2_log,
         log_ptr=jnp.int32(log_ptr),
     )

@@ -97,9 +97,12 @@ class StepPlan:
     MAXFR: int
     fringe_overflow: bool
     ints: np.ndarray      # packed int32 vector
-    floats: np.ndarray    # packed float64 vector (cast on upload)
-    maps: np.ndarray      # [3, MAXAFF, BCAP] gather_fc / scat_fc / new_Ridx
-    fringe_fc: np.ndarray # [MAXFR, BCAP]
+    floats: np.ndarray    # packed float64 vector (bit-packed on upload)
+    ridx: np.ndarray      # [MAXAFF, BCAP] new R pattern rows (pad = NCAP).
+                          # The frontal gather/scatter/fringe maps are derived
+                          # ON DEVICE from this + the resident R_idx, so the
+                          # upload stays small (relay h2d is both
+                          # latency-bound and ~50 MB/s when saturated)
 
 
 def _bucket(n: int, buckets) -> Optional[int]:
@@ -154,6 +157,49 @@ def floats_layout(K: int):
     return off, o
 
 
+def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype):
+    """Static segment offsets of the single packed int32 plan vector.
+
+    Every per-step input (control ints, measurement floats as raw bits, the
+    new R pattern rows) rides in ONE h2d transfer: through the TPU relay
+    each transfer costs ~2-3 ms of latency regardless of size (and ~50 MB/s
+    when saturated), so one small merged buffer per dispatch is the
+    difference between ~12 ms and ~2 ms of upload time per bundle."""
+    _, LI = ints_layout(MAXAFF, MAXFR, K)
+    _, LF = floats_layout(K)
+    words = 2 if np.dtype(dtype) == np.float64 else 1
+    LFW = LF * words
+    LM = MAXAFF * BCAP
+    seg = {
+        "ints": (0, LI),
+        "floats": (LI, LI + LFW),
+        "ridx": (LI + LFW, LI + LFW + LM),
+    }
+    return seg, LI + LFW + LM
+
+
+def pack_plan(plan: "StepPlan", dtype) -> np.ndarray:
+    """Serialize a StepPlan into the packed int32 vector (float payload as
+    raw bits via .view, exact for both float32 and float64 modes)."""
+    fbits = np.ascontiguousarray(
+        plan.floats.astype(np.dtype(dtype))).view(np.int32)
+    return np.concatenate([plan.ints, fbits, plan.ridx.ravel()])
+
+
+def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype):
+    _, LF = floats_layout(K)
+    seg, L = packed_layout(MAXAFF, MAXFR, K, BCAP, dtype)
+    ints = packed[seg["ints"][0]:seg["ints"][1]]
+    fw = packed[seg["floats"][0]:seg["floats"][1]]
+    if np.dtype(dtype) == np.float64:
+        floats = jax.lax.bitcast_convert_type(
+            fw.reshape(LF, 2), jnp.float64)
+    else:
+        floats = jax.lax.bitcast_convert_type(fw, jnp.float32)
+    ridx = packed[seg["ridx"][0]:seg["ridx"][1]].reshape(MAXAFF, BCAP)
+    return ints, floats, ridx
+
+
 def plan_step(
     sym: SymbolicState,
     cfg: SolverConfig,
@@ -203,31 +249,24 @@ def plan_step(
     if MAXAFF is None:
         return None
 
-    # 3. gather maps from OLD patterns (before symbolic update)
-    pos2f = np.full(NCAP + 1, -1, dtype=np.int32)
-    pos2f[F] = np.arange(m, dtype=np.int32)
-    old_rows, _ = _padded_rows(sym.patterns, F, BCAP, NCAP)
-    gather_fc = np.where(old_rows < NCAP, pos2f[old_rows], -1).astype(np.int32)
-
-    # 4. symbolic update (pattern growth + new parents — the structural
-    #    equivalent of search_tree_append, aprilsam.c:958-987)
+    # 3. symbolic update (pattern growth + new parents — the structural
+    #    equivalent of search_tree_append, aprilsam.c:958-987).  The frontal
+    #    slot maps themselves are derived ON DEVICE from F_pos + R_idx (which
+    #    mirrors sym.patterns) + the uploaded new rows — nothing to build here.
     edges = [(int(g.fnodes[f][0]), int(g.fnodes[f][1])) for f in range(f0, f1)]
     sym_mod.update_patterns_incremental(sym, F, edges)
 
     new_rows, new_nnz = _padded_rows(sym.patterns, F, BCAP, NCAP)
-    scat_fc = np.where(new_rows < NCAP, pos2f[new_rows], -1).astype(np.int32)
 
-    # 5. fringe (children of F outside F, NEW tree)
+    # 4. fringe (children of F outside F, NEW tree)
     fringe = sym_mod.fringe_of(sym, F)
     MAXFR = _bucket(len(fringe), (32, 128))
     fringe_overflow = MAXFR is None
     if fringe_overflow:
         fringe = fringe[:0]
         MAXFR = 32
-    fr_rows, _ = _padded_rows(sym.patterns, fringe, BCAP, NCAP)
-    fringe_fc_small = np.where(fr_rows < NCAP, pos2f[fr_rows], -1).astype(np.int32)
 
-    # 6. pack
+    # 5. pack
     off_i, len_i = ints_layout(MAXAFF, MAXFR, K)
     off_f, len_f = floats_layout(K)
     ints = np.zeros(len_i, dtype=np.int32)
@@ -264,8 +303,11 @@ def plan_step(
     if len(nf_a) > K or len(np_n) > K:
         raise OverflowError("new_factor_capacity exceeded; raise it in config")
 
+    slot_map = {int(p): i for i, p in enumerate(F)}
+
     def slots_of(nodes):
-        return np.asarray([int(pos2f[sym.pos[i]]) for i in nodes], dtype=np.int32)
+        return np.asarray([slot_map[int(sym.pos[i])] for i in nodes],
+                          dtype=np.int32)
 
     seti("nf_a_slot", slots_of(nf_a))
     seti("nf_b_slot", slots_of(nf_b))
@@ -298,16 +340,11 @@ def plan_step(
         out[: len(a)] = a
         return out
 
-    maps = np.stack([
-        pad2(gather_fc, MAXAFF, -1),
-        pad2(scat_fc, MAXAFF, -1),
-        pad2(new_rows, MAXAFF, NCAP),
-    ], axis=0)
     return StepPlan(
         m=m, naffected=naffected, MAXAFF=MAXAFF, MAXFR=MAXFR,
         fringe_overflow=fringe_overflow,
-        ints=ints, floats=flts, maps=maps,
-        fringe_fc=pad2(fringe_fc_small, MAXFR, -1),
+        ints=ints, floats=flts,
+        ridx=pad2(new_rows, MAXAFF, NCAP),
     )
 
 
@@ -321,7 +358,7 @@ def _unpack(vec, off, name, shape=None):
     return seg if shape is None else seg.reshape(shape)
 
 
-def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
+def _frontal_core(ds, ints, floats, new_Ridx, off_i, off_f, MAXAFF, KNEW):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     FCAP = ds.xyt_a.shape[0]
@@ -394,14 +431,26 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
     # Grid scatters/gathers are replaced by one-hot einsums: TPU lowers a
     # [M, BCAP]-indexed scatter to a serialized scatter kernel (~ms), while
     # the equivalent one-hot contraction is a single MXU matmul (~us).
+    # The frontal-slot maps (position -> slot in F) are DERIVED here from
+    # F_pos + the resident R_idx + the uploaded new pattern rows, instead of
+    # being uploaded: R_idx mirrors the host symbolic patterns exactly, and
+    # deriving keeps the per-step h2d payload ~4x smaller.
     F_pos = _unpack(ints, off_i, "F_pos")
-    gather_fc = maps[0]
-    scat_fc = maps[1]
-    new_Ridx = maps[2]
     new_Rnnz = _unpack(ints, off_i, "new_Rnnz")
 
     row_valid = jnp.arange(M, dtype=jnp.int32) < m
     scalar_valid = jnp.repeat(row_valid, 3)
+
+    # pos2f[p] = slot of position p in F, else -1 — built as a one-hot MXU
+    # contraction (a direct M-element scatter serializes on TPU)
+    oh_pos = jax.nn.one_hot(jnp.clip(F_pos, 0, NCAP), NCAP + 1, dtype=dtype)
+    oh_pos = oh_pos * row_valid[:, None]
+    slot1 = (jnp.arange(M, dtype=dtype) + 1.0)
+    pos2f = jnp.einsum("mn,m->n", oh_pos, slot1).astype(jnp.int32) - 1
+
+    old_rows_idx = ds.R_idx[jnp.clip(F_pos, 0, NCAP - 1)]   # [M, BCAP]
+    gather_fc = pos2f[jnp.clip(old_rows_idx, 0, NCAP)]
+    scat_fc = pos2f[jnp.clip(new_Ridx, 0, NCAP)]
 
     rows = ds.R_blocks[jnp.clip(F_pos, 0, NCAP - 1)]
     oh_g = jax.nn.one_hot(jnp.clip(gather_fc, 0, M), M, dtype=dtype)
@@ -487,41 +536,51 @@ def _frontal_core(ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW):
     R_nnz = ds.R_nnz.at[dest_rows].set(new_Rnnz, mode="drop")
 
     ds = ds._replace(R_blocks=R_blocks, R_idx=R_idx, R_nnz=R_nnz, y=y_out)
-    return ds, R_up, y_new, row_valid, scalar_valid, spd
+    return ds, R_up, y_new, row_valid, scalar_valid, spd, pos2f
 
 
-def _finish(ds: DeviceState, chi2, start_over, spd, live):
+def _finish(ds: DeviceState, chi2, start_over, spd, live, log_chi2: bool):
     """Write the per-step metric ring and pack the policy stats vector.
     `live` is False for padding slots of a partially-filled bundle: their
-    chi2 is not logged and the ring pointer does not advance."""
-    LOG = ds.chi2_log.shape[0]
-    # writes past capacity drop (mode="drop") instead of clobbering the last
-    # slot; chi2_history() raises on readback when log_ptr exceeded LOG
-    chi2_log = ds.chi2_log.at[
-        jnp.where(live, ds.log_ptr, LOG)
-    ].set(chi2, mode="drop")
-    ds = ds._replace(chi2_log=chi2_log,
-                     log_ptr=ds.log_ptr + live.astype(jnp.int32),
-                     start_over=start_over)
+    chi2 is not logged and the ring pointer does not advance.
+
+    Policy counters are CUMULATIVE on device (start_over monotone since the
+    last batch, spd AND-accumulated into ds.spd_ok), so the host policy only
+    ever needs the newest stats vector — older readbacks can be skipped
+    entirely (cfg.policy_poll)."""
+    spd_ok = ds.spd_ok & (spd | ~live)
+    if log_chi2:
+        LOG = ds.chi2_log.shape[0]
+        # writes past capacity drop (mode="drop") instead of clobbering the
+        # last slot; chi2_history() raises on readback when log_ptr > LOG
+        chi2_log = ds.chi2_log.at[
+            jnp.where(live, ds.log_ptr, LOG)
+        ].set(chi2, mode="drop")
+        ds = ds._replace(chi2_log=chi2_log,
+                         log_ptr=ds.log_ptr + live.astype(jnp.int32))
+    ds = ds._replace(start_over=start_over, spd_ok=spd_ok)
     stats = jnp.stack([
         chi2.astype(jnp.float32),
         start_over.astype(jnp.float32),
-        spd.astype(jnp.float32),
+        spd_ok.astype(jnp.float32),
     ])
     return ds, stats
 
 
-def _fast_body(ds: DeviceState, ints, floats, maps, fringe_fc,
+def _fast_body(ds: DeviceState, packed,
                MAXAFF: int, MAXFR: int, KNEW: int,
-               delta_xy: float, delta_theta: float):
+               delta_xy: float, delta_theta: float, log_chi2: bool):
     NCAP = ds.state.shape[0]
+    BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
     M = MAXAFF
     off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
     off_f, _ = floats_layout(KNEW)
+    ints, floats, ridx = _unpack_plan(
+        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype)
 
-    ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_core(
-        ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW)
+    ds, R_up, y_new, row_valid, scalar_valid, spd, pos2f = _frontal_core(
+        ds, ints, floats, ridx, off_i, off_f, MAXAFF, KNEW)
 
     # back-substitution restricted to F (exact: F is ancestor-closed)
     x_F = jax.scipy.linalg.solve_triangular(R_up, y_new, lower=False)
@@ -534,9 +593,13 @@ def _fast_body(ds: DeviceState, ints, floats, maps, fringe_fc,
     fringe_node = _unpack(ints, off_i, "fringe_node")
 
     # fringe: children of F — compute x, delta_X and relinearization only
-    # (solve_node visits them once and prunes, aprilsam.c:752-771)
+    # (solve_node visits them once and prunes, aprilsam.c:752-771).  Fringe
+    # rows are NOT in F, so their resident R_idx rows are current; the
+    # fringe slot map is pos2f over them (diagonal slot maps to -1, masked).
     fr_valid = jnp.arange(MAXFR, dtype=jnp.int32) < n_fringe
     fr_rows = ds.R_blocks[jnp.clip(fringe_pos, 0, NCAP - 1)]
+    fringe_fc = pos2f[jnp.clip(ds.R_idx[jnp.clip(fringe_pos, 0, NCAP - 1)],
+                               0, NCAP)]
     # beyond-diagonal contribution via one-hot contraction (slot 0 is the
     # fringe node's own diagonal, fringe_fc == -1 there, masked out)
     oh_f = jax.nn.one_hot(jnp.clip(fringe_fc, 0, M), M, dtype=dtype)
@@ -566,7 +629,10 @@ def _fast_body(ds: DeviceState, ints, floats, maps, fringe_fc,
     already = already.at[ids_fr].set(
         already[jnp.clip(ids_fr, 0, NCAP - 1)] | (relin_mask(x_fr) & fr_valid),
         mode="drop")
-    start_over = ds.start_over + jnp.sum(newly_F).astype(jnp.int32) \
+    # saturate: the wall-clock/SPD escalations park start_over at INT_MAX-ish
+    # values that must not wrap when later steps keep counting
+    start_over = jnp.minimum(ds.start_over, jnp.int32(1 << 30)) \
+        + jnp.sum(newly_F).astype(jnp.int32) \
         + jnp.sum(newly_fr).astype(jnp.int32)
 
     delta_X = ds.delta_X.at[ids_F].set(dxF, mode="drop")
@@ -579,50 +645,54 @@ def _fast_body(ds: DeviceState, ints, floats, maps, fringe_fc,
     state = ds.state.at[jnp.where(ok, ids_F, NCAP)].set(new_state_F, mode="drop")
 
     ds = ds._replace(state=state, delta_X=delta_X, relinearized=already)
-    chi2 = state_chi2(ds)
+    chi2 = state_chi2(ds) if log_chi2 else jnp.asarray(jnp.nan, dtype)
     live = _unpack(ints, off_i, "scalars")[0] > 0  # m > 0
-    return _finish(ds, chi2, start_over, spd, live)
+    return _finish(ds, chi2, start_over, spd, live, log_chi2)
 
 
 @partial(jax.jit,
-         static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta"),
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta",
+                          "log_chi2"),
          donate_argnames=("ds",))
-def inc_step_fast(ds: DeviceState, ints, floats, maps, fringe_fc,
+def inc_step_fast(ds: DeviceState, packed,
                   MAXAFF: int, MAXFR: int, KNEW: int,
-                  delta_xy: float, delta_theta: float):
-    return _fast_body(ds, ints, floats, maps, fringe_fc,
-                      MAXAFF, MAXFR, KNEW, delta_xy, delta_theta)
+                  delta_xy: float, delta_theta: float, log_chi2: bool):
+    return _fast_body(ds, packed,
+                      MAXAFF, MAXFR, KNEW, delta_xy, delta_theta, log_chi2)
 
 
 @partial(jax.jit,
-         static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta"),
+         static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta",
+                          "log_chi2"),
          donate_argnames=("ds",))
-def inc_bundle_fast(ds: DeviceState, ints_b, floats_b, maps_b, ffc_b,
+def inc_bundle_fast(ds: DeviceState, packed_b,
                     MAXAFF: int, MAXFR: int, KNEW: int,
-                    delta_xy: float, delta_theta: float):
+                    delta_xy: float, delta_theta: float, log_chi2: bool):
     """B consecutive fast steps in one dispatch (lax.scan over plan slices);
     padding slots are no-ops."""
 
-    def body(ds, xs):
-        ints, floats, maps, ffc = xs
-        ds, stats = _fast_body(ds, ints, floats, maps, ffc,
-                               MAXAFF, MAXFR, KNEW, delta_xy, delta_theta)
+    def body(ds, packed):
+        ds, stats = _fast_body(ds, packed,
+                               MAXAFF, MAXFR, KNEW, delta_xy, delta_theta,
+                               log_chi2)
         return ds, stats
 
-    return jax.lax.scan(body, ds, (ints_b, floats_b, maps_b, ffc_b))
+    return jax.lax.scan(body, ds, packed_b)
 
 
-def _full_body(ds: DeviceState, ints, floats, maps, fringe_fc,
+def _full_body(ds: DeviceState, packed,
                MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, NPANB: int,
-               delta_xy: float, delta_theta: float):
+               delta_xy: float, delta_theta: float, log_chi2: bool):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
     off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
     off_f, _ = floats_layout(KNEW)
+    ints, floats, ridx = _unpack_plan(
+        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype)
 
-    ds, R_up, y_new, row_valid, scalar_valid, spd = _frontal_core(
-        ds, ints, floats, maps, off_i, off_f, MAXAFF, KNEW)
+    ds, R_up, y_new, row_valid, scalar_valid, spd, _pos2f = _frontal_core(
+        ds, ints, floats, ridx, off_i, off_f, MAXAFF, KNEW)
 
     # ---- panel back-substitution x = R^{-1} y over the ACTIVE block rows
     # (NPANB = bucketed ceil(nnodes / PANEL), a static specialization so
@@ -671,7 +741,8 @@ def _full_body(ds: DeviceState, ints, floats, maps, fringe_fc,
     relin = ((jnp.abs(dx[:, 0]) > delta_xy) | (jnp.abs(dx[:, 1]) > delta_xy)
              | (jnp.abs(dx[:, 2]) > delta_theta)) & valid
     newly = relin & ~ds.relinearized
-    start_over = ds.start_over + jnp.sum(newly).astype(jnp.int32)
+    start_over = jnp.minimum(ds.start_over, jnp.int32(1 << 30)) \
+        + jnp.sum(newly).astype(jnp.int32)
     relinearized = ds.relinearized | relin
 
     ok = valid & ~jnp.any(jnp.isnan(dx), axis=1)
@@ -682,40 +753,40 @@ def _full_body(ds: DeviceState, ints, floats, maps, fringe_fc,
 
     ds = ds._replace(state=new_state, delta_X=delta_X,
                      relinearized=relinearized)
-    chi2 = state_chi2(ds)
+    chi2 = state_chi2(ds) if log_chi2 else jnp.asarray(jnp.nan, dtype)
     live = _unpack(ints, off_i, "scalars")[0] > 0
-    return _finish(ds, chi2, start_over, spd, live)
+    return _finish(ds, chi2, start_over, spd, live, log_chi2)
 
 
 @partial(jax.jit,
          static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "NPANB",
-                          "delta_xy", "delta_theta"),
+                          "delta_xy", "delta_theta", "log_chi2"),
          donate_argnames=("ds",))
-def inc_step_full(ds: DeviceState, ints, floats, maps, fringe_fc,
+def inc_step_full(ds: DeviceState, packed,
                   MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, NPANB: int,
-                  delta_xy: float, delta_theta: float):
-    return _full_body(ds, ints, floats, maps, fringe_fc,
+                  delta_xy: float, delta_theta: float, log_chi2: bool):
+    return _full_body(ds, packed,
                       MAXAFF, MAXFR, KNEW, PANEL, NPANB,
-                      delta_xy, delta_theta)
+                      delta_xy, delta_theta, log_chi2)
 
 
 @partial(jax.jit,
          static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "NPANB",
-                          "delta_xy", "delta_theta"),
+                          "delta_xy", "delta_theta", "log_chi2"),
          donate_argnames=("ds",))
-def inc_bundle_full(ds: DeviceState, ints_b, floats_b, maps_b, ffc_b,
+def inc_bundle_full(ds: DeviceState, packed_b,
                     MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int,
-                    NPANB: int, delta_xy: float, delta_theta: float):
+                    NPANB: int, delta_xy: float, delta_theta: float,
+                    log_chi2: bool):
     """B consecutive full steps in one dispatch."""
 
-    def body(ds, xs):
-        ints, floats, maps, ffc = xs
-        ds, stats = _full_body(ds, ints, floats, maps, ffc,
+    def body(ds, packed):
+        ds, stats = _full_body(ds, packed,
                                MAXAFF, MAXFR, KNEW, PANEL, NPANB,
-                               delta_xy, delta_theta)
+                               delta_xy, delta_theta, log_chi2)
         return ds, stats
 
-    return jax.lax.scan(body, ds, (ints_b, floats_b, maps_b, ffc_b))
+    return jax.lax.scan(body, ds, packed_b)
 
 
 # ======================================================================
@@ -757,6 +828,7 @@ class IncrementalSolver:
         self.steps_done = 0
         self._batch_serial = 0
         self._pending: deque = deque()
+        self._due_since_poll = 0
         self._queue: list = []       # planned-but-undispatched bundle slots
         self._queue_sig = None
         # wall-clock of the previous dispatch: the dispatch-to-dispatch
@@ -889,13 +961,40 @@ class IncrementalSolver:
         return None
 
     def _drain_pending(self, g: FactorGraph, block_all: bool = False):
+        """Pop due pending entries and apply the batch-fallback policy.
+
+        Device counters are cumulative (start_over monotone since last batch,
+        spd AND-folded into stats[2]), so only the NEWEST due entry is ever
+        materialized — one d2h round trip per poll instead of one per bundle,
+        and cfg.policy_poll rations even those.  The wall-clock gate
+        (aprilsam.c:557-559) needs no readback at all: it runs on the
+        host-recorded dispatch intervals of every due entry."""
         lag = self.cfg.policy_lag
+        due = []
         while self._pending and (block_all or len(self._pending) > lag):
-            p = self._pending.popleft()
-            stats = np.asarray(p.stats)  # cached on the array after first use
+            due.append(self._pending.popleft())
+        if not due:
+            return
+        self._due_since_poll += len(due)
+        fresh = [p for p in due
+                 if p.dispatched_after_batch == self._batch_serial]
+        if not fresh:
+            return
+        if (self.cfg.wallclock_gate and self.batch_time_ms > 0.0 and
+                any(p.step_ms > 0.0 and p.step_ms >
+                    self.batch_time_ms * self.cfg.batch_time_fraction
+                    for p in fresh)):
+            self._due_since_poll = 0
+            mode = 1 if self.cfg.policy_lag == 0 else 2
+            self._run_batch(g, record_time=True, log_mode=mode)
+            return
+        if block_all or self._due_since_poll >= self.cfg.policy_poll:
+            self._due_since_poll = 0
+            p = fresh[-1]
+            stats = np.asarray(p.stats)
             if p.row >= 0:
                 stats = stats[p.row]
-            self._apply_policy(stats, p.dispatched_after_batch, p.step_ms, g)
+            self._apply_policy(stats, p.dispatched_after_batch, 0.0, g)
 
     def update(self, g: FactorGraph,
                seeds: Sequence[SeedSpec] = ()) -> Optional[BatchInfo]:
@@ -1010,25 +1109,31 @@ class IncrementalSolver:
         self._last_dispatch_t = now
         return step_ms
 
+    @property
+    def _device_dtype(self):
+        """The dtype device arrays ACTUALLY carry: cfg.dtype float64 with
+        jax x64 disabled silently truncates to float32, and the packed-plan
+        float-bit encoding must match the kernel's unpacking width."""
+        return np.dtype(self.ds.R_blocks.dtype)
+
     def _dispatch_one(self, plan: StepPlan, sig):
         K = self.cfg.new_factor_capacity
-        ints = jnp.asarray(plan.ints)
-        floats = jnp.asarray(plan.floats.astype(self.cfg.dtype))
-        maps = jnp.asarray(plan.maps)
-        ffc = jnp.asarray(plan.fringe_fc)
+        packed = jnp.asarray(pack_plan(plan, self._device_dtype))
         if sig[0] == "fast":
             self.ds, stats = inc_step_fast(
-                self.ds, ints, floats, maps, ffc,
+                self.ds, packed,
                 MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
                 delta_xy=float(self.cfg.delta_xy),
-                delta_theta=float(self.cfg.delta_theta))
+                delta_theta=float(self.cfg.delta_theta),
+                log_chi2=self.cfg.log_chi2)
         else:
             self.ds, stats = inc_step_full(
-                self.ds, ints, floats, maps, ffc,
+                self.ds, packed,
                 MAXAFF=plan.MAXAFF, MAXFR=plan.MAXFR, KNEW=K,
                 PANEL=self.cfg.panel_nodes, NPANB=sig[3],
                 delta_xy=float(self.cfg.delta_xy),
-                delta_theta=float(self.cfg.delta_theta))
+                delta_theta=float(self.cfg.delta_theta),
+                log_chi2=self.cfg.log_chi2)
         return stats
 
     def _dispatch_queue(self):
@@ -1053,30 +1158,31 @@ class IncrementalSolver:
         K = self.cfg.new_factor_capacity
         plans = self._queue
 
-        def padded(getter, fill=0):
-            arrs = [getter(p) for p in plans]
-            dead = np.full_like(arrs[0], fill)
-            return np.stack(arrs + [dead] * (B - k))
-
-        ints_b = jnp.asarray(padded(lambda p: p.ints))
-        floats_b = jnp.asarray(
-            padded(lambda p: p.floats).astype(self.cfg.dtype))
-        maps_b = jnp.asarray(padded(lambda p: p.maps, fill=-1))
-        ffc_b = jnp.asarray(padded(lambda p: p.fringe_fc, fill=-1))
+        rows = [pack_plan(p, self._device_dtype) for p in plans]
+        if k < B:
+            dead = np.zeros_like(rows[0])
+            seg, _ = packed_layout(sig[1], sig[2], K,
+                                   self.cfg.row_block_capacity,
+                                   self._device_dtype)
+            dead[seg["ridx"][0]:seg["ridx"][1]] = self.cfg.node_capacity
+            rows = rows + [dead] * (B - k)
+        packed_b = jnp.asarray(np.stack(rows))
 
         if sig[0] == "fast":
             self.ds, stats = inc_bundle_fast(
-                self.ds, ints_b, floats_b, maps_b, ffc_b,
+                self.ds, packed_b,
                 MAXAFF=sig[1], MAXFR=sig[2], KNEW=K,
                 delta_xy=float(self.cfg.delta_xy),
-                delta_theta=float(self.cfg.delta_theta))
+                delta_theta=float(self.cfg.delta_theta),
+                log_chi2=self.cfg.log_chi2)
         else:
             self.ds, stats = inc_bundle_full(
-                self.ds, ints_b, floats_b, maps_b, ffc_b,
+                self.ds, packed_b,
                 MAXAFF=sig[1], MAXFR=sig[2], KNEW=K,
                 PANEL=self.cfg.panel_nodes, NPANB=sig[3],
                 delta_xy=float(self.cfg.delta_xy),
-                delta_theta=float(self.cfg.delta_theta))
+                delta_theta=float(self.cfg.delta_theta),
+                log_chi2=self.cfg.log_chi2)
 
         base = self.steps_done - k
         step_ms = self._mark_dispatch(k)
@@ -1121,6 +1227,7 @@ class IncrementalSolver:
         signatures = signatures or self.default_signatures(nnodes)
         K = self.cfg.new_factor_capacity
         BCAP = self.cfg.row_block_capacity
+        NCAP = self.cfg.node_capacity
         B = max(1, self.cfg.bundle_size)
         count = 0
         for sig in signatures:
@@ -1129,11 +1236,10 @@ class IncrementalSolver:
             _, LF = I.floats_layout(K)
             ints = np.zeros(LI, dtype=np.int32)
             flts = np.zeros(LF, dtype=np.float64)
-            maps = np.full((3, MAXAFF, BCAP), -1, dtype=np.int32)
-            ffc = np.full((MAXFR, BCAP), -1, dtype=np.int32)
+            ridx = np.full((MAXAFF, BCAP), NCAP, dtype=np.int32)
             plan = StepPlan(m=0, naffected=0, MAXAFF=MAXAFF, MAXFR=MAXFR,
                             fringe_overflow=False, ints=ints, floats=flts,
-                            maps=maps, fringe_fc=ffc)
+                            ridx=ridx)
             # compile the single-step jit AND (when bundling) the bundle jit
             self._dispatch_one(plan, sig)
             if B > 1:

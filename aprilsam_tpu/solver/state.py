@@ -57,6 +57,9 @@ class DeviceState(NamedTuple):
 
     # --- counters / policy state ---
     start_over: jax.Array    # int32 scalar (tr->start_over)
+    spd_ok: jax.Array        # bool scalar — AND of every frontal SPD check
+                             # since the last batch epoch (cumulative, so the
+                             # policy needs only the NEWEST stats readback)
     nnodes: jax.Array        # int32 scalar
 
     # --- per-step metrics ring (device-side so replay never syncs) ---
@@ -93,6 +96,7 @@ def init_device_state(cfg: SolverConfig) -> DeviceState:
         pos_W=f(FPOS, 3, 3),
         n_pos=jnp.int32(0),
         start_over=jnp.int32(0),
+        spd_ok=jnp.asarray(True),
         nnodes=jnp.int32(0),
         chi2_log=f(cfg.effective_log_capacity),
         log_ptr=jnp.int32(0),

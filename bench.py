@@ -76,8 +76,13 @@ def worker() -> int:
         panel_nodes=128,
         wallclock_gate=False,   # deterministic trajectory (matches the
                                 # published 69.91 semantics, BASELINE.md)
-        policy_lag=8,
-        bundle_size=8,          # amortize dispatch round-trips
+        policy_lag=16,
+        bundle_size=16,         # amortize dispatch round-trips
+        policy_poll=64,         # one policy d2h per ~4 bundles (each d2h
+                                # costs ~1 ms through the relay)
+        log_chi2=False,         # the C demo times only the solver call
+                                # (aprilsam_demo.c:101-115); chi2 is computed
+                                # off the clock, here once at the end
     )
 
     # warmup: run a short prefix (compiles the batch path), then drive every
@@ -102,11 +107,15 @@ def worker() -> int:
             print("PROGRESS " + json.dumps({
                 "steps": n, "elapsed_s": time.perf_counter() - t0,
                 "platform": platform}), flush=True)
-    rep.finish()
+    # flush queued bundles and wait for the device INSIDE the clock (the
+    # optimizer isn't done until its dispatched work is), then read the
+    # final chi2 off the clock — the reference also computes chi2 outside
+    # its step timer (aprilsam_demo.c:229-232)
+    rep.solver.flush(rep.graph)
+    jax.block_until_ready(rep.solver.ds.state)
     total_s = time.perf_counter() - t0
 
-    hist = rep.solver.chi2_history()
-    final_chi2 = float(hist[-1]) if len(hist) else float("nan")
+    final_chi2 = rep.solver.chi2()
     poses_per_sec = n / total_s
     ok = CHI2_BAND[0] <= final_chi2 <= CHI2_BAND[1]
 
