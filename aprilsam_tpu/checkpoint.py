@@ -64,11 +64,14 @@ def save_solver(solver: IncrementalSolver, path: str) -> None:
         "cfg": _cfg_to_dict(solver.cfg),
     }
     if sym is not None:
+        from .solver.incremental import sym_patterns_list
+
+        patterns = sym_patterns_list(sym)  # native planner mutates the pads
         arrays["sym_order"] = sym.order
         arrays["sym_pos"] = sym.pos
         arrays["sym_parents"] = sym.parents
-        flat = np.concatenate(sym.patterns) if sym.patterns else np.zeros(0, np.int32)
-        lens = np.asarray([len(p) for p in sym.patterns], dtype=np.int32)
+        flat = np.concatenate(patterns) if patterns else np.zeros(0, np.int32)
+        lens = np.asarray([len(p) for p in patterns], dtype=np.int32)
         arrays["sym_pattern_flat"] = flat
         arrays["sym_pattern_lens"] = lens
     arrays["meta_json"] = np.frombuffer(

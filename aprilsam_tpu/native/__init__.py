@@ -77,6 +77,16 @@ def _load():
             ctypes.c_double,
             _f64, _f64, _f64, _f64, _f64, _f64,
         ]
+
+        lib.asn_plan_step.restype = ctypes.c_int
+        lib.asn_plan_step.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _i32, _i32, _i32, _i32, _i32,
+            _i32, ctypes.c_int32,
+            _i32, _i32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            _i32, _i32, _i32, _i32,
+        ]
         _lib = lib
         return _lib
 
@@ -135,3 +145,16 @@ def batch_solve(n, states, fa, fb, fz, fW, pn, pz, pW, order, bcap,
         blocks.reshape(-1), y, x, new_states.reshape(-1),
         delta.reshape(-1), chi2)
     return blocks, y, x, new_states, delta, float(chi2[0]), rc == 0
+
+def plan_step_native(nn, ncap, bcap, parents, pat_idx, pat_nnz, mark, token,
+                     touched, ea, eb, maxaff, fr_cap, F_out, fringe_out,
+                     m_out, nfr_out) -> int:
+    """In-place incremental-step symbolic planning (see asn_plan_step).
+
+    Returns the C return code: 0 ok, 1 affected-overflow (no mutation),
+    2 bcap overflow, 3 invariant violation."""
+    lib = _load()
+    return lib.asn_plan_step(
+        nn, ncap, bcap, parents, pat_idx.reshape(-1), pat_nnz, mark, token,
+        touched, len(touched), ea, eb, len(ea),
+        maxaff, fr_cap, F_out, m_out, fringe_out, nfr_out)

@@ -584,3 +584,137 @@ int asn_batch_solve(
     free(B);
     return spd ? 0 : -1;
 }
+
+/* ------------------------------------------------------------------ */
+/* Incremental step planner (host symbolic hot path)                    */
+/*                                                                      */
+/* The per-step symbolic work — affected-set walk (aprilsam.c:482-498), */
+/* pattern growth + parent re-derivation (the structural equivalent of  */
+/* search_tree_append, aprilsam.c:958-987) and the fringe scan          */
+/* (solve_node's pruned children, aprilsam.c:741-772) — on the padded   */
+/* block-CSR arrays mirrored by the device (R_idx/R_nnz layout).        */
+/* Replaces the python set/dict planner whose per-step constants        */
+/* (~0.3 ms) exceeded the whole 5x-vs-C step budget.                    */
+/*                                                                      */
+/* State arrays are owned by python and updated in place:               */
+/*   parents [ncap]        parent position or -1                        */
+/*   pat_idx [ncap * bcap] sorted column positions, pat[p][0] == p,     */
+/*                         sentinel fill == ncap                        */
+/*   pat_nnz [ncap]                                                     */
+/*   mark    [ncap]        visit stamps (zeroed once at creation)       */
+/*   token   [1]           monotonically increasing stamp               */
+/*                                                                      */
+/* Returns 0 ok; 1 affected set > maxaff (no state mutated; caller      */
+/* falls back to a batch epoch); 2 bcap overflow (caller grows);        */
+/* 3 invariant violation (endpoint/parent not affected).                */
+/* ------------------------------------------------------------------ */
+
+int asn_plan_step(int32_t nn, int32_t ncap, int32_t bcap,
+                  int32_t *RESTRICT parents,
+                  int32_t *RESTRICT pat_idx,
+                  int32_t *RESTRICT pat_nnz,
+                  int32_t *RESTRICT mark, int32_t *RESTRICT token_io,
+                  const int32_t *RESTRICT touched, int32_t nt,
+                  const int32_t *RESTRICT ea, const int32_t *RESTRICT eb,
+                  int32_t ne,
+                  int32_t maxaff, int32_t fr_cap,
+                  int32_t *RESTRICT F_out, int32_t *RESTRICT m_out,
+                  int32_t *RESTRICT fringe_out, int32_t *RESTRICT nfr_out)
+{
+    int32_t token = ++token_io[0];
+    int m = 0;
+
+    /* 1. affected set: walk to root with the OLD parents (duplicate-safe
+     * via stamps); bail before any mutation if it exceeds maxaff */
+    for (int t = 0; t < nt; t++) {
+        int32_t p = touched[t];
+        while (p >= 0 && mark[p] != token) {
+            mark[p] = token;
+            if (m < maxaff) F_out[m] = p;
+            m++;
+            p = parents[p];
+        }
+    }
+    m_out[0] = m;
+    if (m > maxaff) return 1;
+
+    /* ascending order (m is small; insertion sort) */
+    for (int i = 1; i < m; i++) {
+        int32_t v = F_out[i];
+        int j = i - 1;
+        while (j >= 0 && F_out[j] > v) { F_out[j + 1] = F_out[j]; j--; }
+        F_out[j + 1] = v;
+    }
+
+    /* 2. merge the new factor block edges into the affected rows */
+    for (int e = 0; e < ne; e++) {
+        if (eb[e] < 0) continue;            /* priors: diagonal only */
+        int32_t lo = ea[e], hi = eb[e];
+        if (lo > hi) { int32_t t = lo; lo = hi; hi = t; }
+        if (mark[lo] != token || mark[hi] != token) return 3;
+        int32_t *row = pat_idx + (size_t)lo * bcap;
+        int32_t k = pat_nnz[lo];
+        /* binary search for hi in row[0..k) */
+        int a = 0, b = k;
+        while (a < b) {
+            int mid = (a + b) / 2;
+            if (row[mid] < hi) a = mid + 1; else b = mid;
+        }
+        if (a < k && row[a] == hi) continue;  /* already present */
+        if (k >= bcap) return 2;
+        memmove(row + a + 1, row + a, sizeof(int32_t) * (k - a));
+        row[a] = hi;
+        pat_nnz[lo] = k + 1;
+    }
+
+    /* 3. restricted symbolic re-elimination over F ascending: re-derive
+     * the parent (first super-diagonal column) and merge the row's
+     * off-diagonal pattern into it (patterns only grow, growth stays
+     * inside F because columns are etree ancestors) */
+    int32_t *scratch = (int32_t *)malloc(sizeof(int32_t) * bcap);
+    for (int i = 0; i < m; i++) {
+        int32_t p = F_out[i];
+        int32_t *row = pat_idx + (size_t)p * bcap;
+        int32_t k = pat_nnz[p];
+        int32_t parent = (k >= 2) ? row[1] : -1;
+        parents[p] = parent;
+        if (parent < 0) continue;
+        if (mark[parent] != token) { free(scratch); return 3; }
+        /* sorted union: parent_row |= row[1:] */
+        int32_t *prow = pat_idx + (size_t)parent * bcap;
+        int32_t pk = pat_nnz[parent];
+        int a = 1, b = 0, o = 0;          /* a over row[1:], b over prow */
+        while (a < k && b < pk) {
+            int32_t va = row[a], vb = prow[b];
+            if (o >= bcap) { free(scratch); return 2; }
+            if (va == vb)      { scratch[o++] = va; a++; b++; }
+            else if (va < vb)  { scratch[o++] = va; a++; }
+            else               { scratch[o++] = vb; b++; }
+        }
+        while (a < k) {
+            if (o >= bcap) { free(scratch); return 2; }
+            scratch[o++] = row[a++];
+        }
+        while (b < pk) {
+            if (o >= bcap) { free(scratch); return 2; }
+            scratch[o++] = prow[b++];
+        }
+        memcpy(prow, scratch, sizeof(int32_t) * o);
+        for (int z = o; z < pk; z++) prow[z] = ncap;  /* re-pad shrink-safe */
+        pat_nnz[parent] = o;
+    }
+    free(scratch);
+
+    /* 4. fringe: positions outside F whose (new) parent is inside F */
+    int nfr = 0;
+    for (int32_t c = 0; c < nn; c++) {
+        if (mark[c] == token) continue;
+        int32_t par = parents[c];
+        if (par >= 0 && mark[par] == token) {
+            if (nfr < fr_cap) fringe_out[nfr] = c;
+            nfr++;
+        }
+    }
+    nfr_out[0] = nfr;
+    return 0;
+}

@@ -200,6 +200,33 @@ def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype):
     return ints, floats, ridx
 
 
+def _ensure_native_sym(sym: SymbolicState, NCAP: int, BCAP: int) -> bool:
+    """Attach the padded planner mirror (pad_idx/pad_nnz + visit stamps) to a
+    fresh post-batch SymbolicState; returns False when the native runtime is
+    unavailable (python planner path)."""
+    from .. import native
+
+    if not native.available():
+        return False
+    if getattr(sym, "pad_idx", None) is None:
+        idx, nnz = sym_mod.padded_pattern_arrays(sym, NCAP, BCAP, NCAP)
+        sym.pad_idx = idx
+        sym.pad_nnz = nnz
+        sym.mark = np.zeros(NCAP, dtype=np.int32)
+        sym.token = np.zeros(1, dtype=np.int32)
+        sym.patterns_stale = False
+    return True
+
+
+def sym_patterns_list(sym: SymbolicState) -> List[np.ndarray]:
+    """Materialize per-row patterns, reading the native pad arrays when the
+    python list has gone stale (native planner mutates only the pads)."""
+    if getattr(sym, "patterns_stale", False):
+        return [sym.pad_idx[p, : sym.pad_nnz[p]].copy()
+                for p in range(sym.nnodes)]
+    return sym.patterns
+
+
 def plan_step(
     sym: SymbolicState,
     cfg: SolverConfig,
@@ -232,39 +259,94 @@ def plan_step(
         raise OverflowError("too many new nodes/seeds in one step")
     sym_mod.append_nodes(sym, new_ids)
 
-    # 2. mark affected (walk to root with OLD parents; new nodes isolated)
-    touched = []
-    for f in range(f0, f1):
-        a, b = g.fnodes[f]
-        touched.append(int(a))
-        if b >= 0:
-            touched.append(int(b))
-    F = sym_mod.mark_affected(sym, touched)
-    naffected = len(F)
-    new_pos = np.asarray([int(sym.pos[i]) for i in new_ids], dtype=np.int32)
-    F = np.unique(np.concatenate([F, new_pos])) if len(new_pos) else F
-    m = len(F)
+    if _ensure_native_sym(sym, NCAP, BCAP):
+        # ---- native planner: one C call does the affected walk, pattern
+        # merge, parent re-derivation and fringe scan on the padded arrays
+        from .. import native
 
-    MAXAFF = _bucket(m, cfg.frontal_buckets)
-    if MAXAFF is None:
-        return None
+        nn = sym.nnodes
+        for i in new_ids:
+            p = int(sym.pos[i])
+            sym.pad_idx[p, 0] = p
+            sym.pad_nnz[p] = 1
+        fn = g.fnodes[f0:f1]
+        ea_pos = sym.pos[fn[:, 0]].astype(np.int32)
+        has_b = fn[:, 1] >= 0
+        eb_pos = np.where(
+            has_b, sym.pos[np.clip(fn[:, 1], 0, None)], -1).astype(np.int32)
+        new_pos = sym.pos[new_ids].astype(np.int32) if new_ids else \
+            np.zeros(0, dtype=np.int32)
+        touched_pos = np.ascontiguousarray(np.concatenate(
+            [ea_pos, eb_pos[has_b], new_pos]))
+        MAXCAP = cfg.frontal_buckets[-1]
+        FRCAP = 128
+        F = np.empty(MAXCAP, dtype=np.int32)
+        fringe = np.empty(FRCAP, dtype=np.int32)
+        mbuf = np.zeros(1, dtype=np.int32)
+        nfrbuf = np.zeros(1, dtype=np.int32)
+        rc = native.plan_step_native(
+            nn, NCAP, BCAP, sym.parents, sym.pad_idx, sym.pad_nnz,
+            sym.mark, sym.token, touched_pos,
+            np.ascontiguousarray(ea_pos), np.ascontiguousarray(eb_pos),
+            MAXCAP, FRCAP, F, fringe, mbuf, nfrbuf)
+        if rc == 1:
+            return None                       # affected set > largest bucket
+        if rc == 2:
+            raise OverflowError("row_block_capacity exceeded")
+        if rc == 3:
+            raise RuntimeError("planner invariant violation")
+        sym.patterns_stale = True
+        m = int(mbuf[0])
+        naffected = m - len(new_ids)
+        F = F[:m]
+        MAXAFF = _bucket(m, cfg.frontal_buckets)
+        nfr = int(nfrbuf[0])
+        MAXFR = _bucket(nfr, (32, 128))
+        fringe_overflow = MAXFR is None
+        if fringe_overflow:
+            fringe = fringe[:0]
+            MAXFR = 32
+        else:
+            fringe = fringe[:nfr]
+        new_rows = sym.pad_idx[F]
+        new_nnz = sym.pad_nnz[F]
+    else:
+        # 2. mark affected (walk to root with OLD parents; new nodes isolated)
+        touched = []
+        for f in range(f0, f1):
+            a, b = g.fnodes[f]
+            touched.append(int(a))
+            if b >= 0:
+                touched.append(int(b))
+        F = sym_mod.mark_affected(sym, touched)
+        naffected = len(F)
+        new_pos = np.asarray([int(sym.pos[i]) for i in new_ids],
+                             dtype=np.int32)
+        F = np.unique(np.concatenate([F, new_pos])) if len(new_pos) else F
+        m = len(F)
 
-    # 3. symbolic update (pattern growth + new parents — the structural
-    #    equivalent of search_tree_append, aprilsam.c:958-987).  The frontal
-    #    slot maps themselves are derived ON DEVICE from F_pos + R_idx (which
-    #    mirrors sym.patterns) + the uploaded new rows — nothing to build here.
-    edges = [(int(g.fnodes[f][0]), int(g.fnodes[f][1])) for f in range(f0, f1)]
-    sym_mod.update_patterns_incremental(sym, F, edges)
+        MAXAFF = _bucket(m, cfg.frontal_buckets)
+        if MAXAFF is None:
+            return None
 
-    new_rows, new_nnz = _padded_rows(sym.patterns, F, BCAP, NCAP)
+        # 3. symbolic update (pattern growth + new parents — the structural
+        #    equivalent of search_tree_append, aprilsam.c:958-987).  The
+        #    frontal slot maps themselves are derived ON DEVICE from F_pos +
+        #    R_idx (which mirrors sym.patterns) + the uploaded new rows —
+        #    nothing to build here.
+        edges = [(int(g.fnodes[f][0]), int(g.fnodes[f][1]))
+                 for f in range(f0, f1)]
+        sym_mod.update_patterns_incremental(sym, F, edges)
 
-    # 4. fringe (children of F outside F, NEW tree)
-    fringe = sym_mod.fringe_of(sym, F)
-    MAXFR = _bucket(len(fringe), (32, 128))
-    fringe_overflow = MAXFR is None
-    if fringe_overflow:
-        fringe = fringe[:0]
-        MAXFR = 32
+        new_rows, new_nnz = _padded_rows(sym.patterns, F, BCAP, NCAP)
+
+        # 4. fringe (children of F outside F, NEW tree)
+        fringe = sym_mod.fringe_of(sym, F)
+        MAXFR = _bucket(len(fringe), (32, 128))
+        fringe_overflow = MAXFR is None
+        if fringe_overflow:
+            fringe = fringe[:0]
+            MAXFR = 32
 
     # 5. pack
     off_i, len_i = ints_layout(MAXAFF, MAXFR, K)
@@ -1276,6 +1358,10 @@ class IncrementalSolver:
         if self.sym is None:
             return "<no tree: run solve() first>"
         sym = self.sym
+        if getattr(sym, "patterns_stale", False):
+            # native planner maintains parents + pads only
+            sym.rebuild_children()
+        patterns = sym_patterns_list(sym)
         lines = [f"root position: {sym.nnodes - 1} "
                  f"(node {int(sym.order[sym.nnodes - 1])}), "
                  f"nnodes: {sym.nnodes}"]
@@ -1284,7 +1370,7 @@ class IncrementalSolver:
             lines.append(
                 f" pos {p} (node {int(sym.order[p])}): "
                 f"parent={int(sym.parents[p])} children=[{kids}] "
-                f"nnz={len(sym.patterns[p])}")
+                f"nnz={len(patterns[p])}")
         if sym.nnodes > max_nodes:
             lines.append(f" ... ({sym.nnodes - max_nodes} more)")
         return "\n".join(lines)

@@ -21,11 +21,11 @@ def chain(fn, ds, *args, n=10, warmup=2):
     out = ds
     for _ in range(warmup):
         out = fn(out, *args)
-    jax.block_until_ready(out[0].state if isinstance(out, tuple) else out.state)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(out, *args)
-    jax.block_until_ready(out[0].state if isinstance(out, tuple) else out.state)
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n * 1e3, out
 
 
@@ -38,6 +38,46 @@ def main():
     enable_compilation_cache()
     setup_precision()
     print(f"platform: {jax.devices()[0].platform}", flush=True)
+
+    # ---- 0a. per-argument dispatch overhead (relay theory probe)
+    for nargs in (1, 4, 16, 32):
+        arrs = tuple(jnp.zeros((128,), jnp.float32) + i for i in range(nargs))
+
+        @jax.jit
+        def use_all(*xs):
+            return sum(x[0] for x in xs)
+
+        o = use_all(*arrs)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(30):
+            o = use_all(*arrs)
+        jax.block_until_ready(o)
+        ms_in = (time.perf_counter() - t0) / 30 * 1e3
+
+        f2 = jax.jit(lambda *xs: tuple(x + 1.0 for x in xs),
+                     donate_argnums=tuple(range(nargs)))
+        out = f2(*arrs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(30):
+            out = f2(*out)
+        jax.block_until_ready(out)
+        ms_io = (time.perf_counter() - t0) / 30 * 1e3
+        print(f"args={nargs:3d}: in-only {ms_in:7.3f} ms, "
+              f"donated in+out {ms_io:7.3f} ms", flush=True)
+
+    # ---- 0b. h2d upload latency
+    for kb in (4, 64, 1024):
+        a = np.zeros(kb * 256, dtype=np.float32)
+        o = jnp.asarray(a)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            o = jnp.asarray(a)
+            jax.block_until_ready(o)
+        print(f"h2d {kb:5d} KiB (blocking): "
+              f"{(time.perf_counter()-t0)/20*1e3:8.3f} ms", flush=True)
 
     from aprilsam_tpu.io import load_g2o_text
     from aprilsam_tpu.replay import Replay
@@ -52,7 +92,7 @@ def main():
     loaded = load_g2o_text("/root/reference/data/M3500.txt")
     rep = Replay(loaded, cfg, batch_update_only=False, deferred=True)
     t0 = time.perf_counter()
-    for _ in range(400):
+    for _ in range(300):
         rep.step()
     rep.solver._dispatch_queue()
     solver = rep.solver
@@ -88,7 +128,7 @@ def main():
     # ---- 2. real step jits with dead plans (device-resident packed)
     def dead_packed(MAXAFF, MAXFR):
         seg, L = inc.packed_layout(MAXAFF, MAXFR, K, BCAP, np.float32)
-        dead = np.zeros(L, dtype=np.float32)
+        dead = np.zeros(L, dtype=np.int32)
         dead[seg["ridx"][0]:seg["ridx"][1]] = NCAP
         return jnp.asarray(dead)
 
@@ -113,8 +153,42 @@ def main():
         lambda d: inc.inc_bundle_fast(
             d, pkb, MAXAFF=16, MAXFR=32, KNEW=K,
             delta_xy=0.1, delta_theta=0.1, log_chi2=True)[0], ds)
-    print(f"inc_bundle_fast x8 /step:     {ms/8:8.3f} ms", flush=True)
+    print(f"inc_bundle_fast x8 chi2 /step:   {ms/8:8.3f} ms", flush=True)
     ds = out
+
+    ms, out = chain(
+        lambda d: inc.inc_bundle_fast(
+            d, pkb, MAXAFF=16, MAXFR=32, KNEW=K,
+            delta_xy=0.1, delta_theta=0.1, log_chi2=False)[0], ds)
+    print(f"inc_bundle_fast x8 nochi2 /step: {ms/8:8.3f} ms", flush=True)
+    ds = out
+
+    pkb32 = jnp.stack([dead_packed(16, 32)] * 32)
+    ms, out = chain(
+        lambda d: inc.inc_bundle_fast(
+            d, pkb32, MAXAFF=16, MAXFR=32, KNEW=K,
+            delta_xy=0.1, delta_theta=0.1, log_chi2=False)[0], ds, n=5)
+    print(f"inc_bundle_fast x32 nochi2 /step:{ms/32:8.3f} ms", flush=True)
+    ds = out
+
+    # chi2 decomposition: gathers vs eval
+    from aprilsam_tpu.factors import eval_xyt
+
+    @jax.jit
+    def chi2_gather_only(ds):
+        sa = ds.state[jnp.clip(ds.xyt_a, 0, NCAP - 1)]
+        sb = ds.state[jnp.clip(ds.xyt_b, 0, NCAP - 1)]
+        return sa.sum() + sb.sum()
+
+    for _ in range(3):
+        o = chi2_gather_only(ds)
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        o = chi2_gather_only(ds)
+    jax.block_until_ready(o)
+    print(f"chi2 gathers only:            "
+          f"{(time.perf_counter()-t0)/20*1e3:8.3f} ms", flush=True)
 
     for MAXAFF in (16, 64, 256):
         pk = dead_packed(MAXAFF, 32)
