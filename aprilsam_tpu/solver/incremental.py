@@ -1284,19 +1284,33 @@ class IncrementalSolver:
         self._drain_pending(g, block_all=True)
 
     def default_signatures(self, nnodes: Optional[int] = None):
-        """Derive the high-frequency step-shape signatures from the config
-        and (optionally) the expected trajectory length: the fast bucket plus
-        every full frontal bucket at the two largest active-panel counts the
-        replay will reach.  Rare shapes compile lazily mid-run (and persist
-        in the compilation cache), which amortizes."""
+        """Derive the step-shape signatures from the config and (optionally)
+        the expected trajectory length.  EVERY active-panel count the replay
+        passes through is included (1, 2, 4, ... npanb_max): a growing
+        trajectory crosses each doubling exactly once, and a single mid-run
+        compile (10-60 s) costs more than the entire optimized replay — the
+        r01->r02 TPU bench was dominated by exactly these compiles.  All
+        entries persist in the on-disk compilation cache, so warmup is cheap
+        after the first run on a machine."""
         fr = 32
         npanb_max = self._npanb(nnodes if nnodes
                                 else self.cfg.node_capacity)
+        npanbs = []
+        b = 1
+        while b <= npanb_max:
+            npanbs.append(b)
+            b *= 2
         sigs = [("fast", self.cfg.frontal_buckets[0], fr)]
         for b in self.cfg.frontal_buckets[:3]:
-            sigs.append(("full", b, fr, npanb_max))
+            for npanb in npanbs:
+                sigs.append(("full", b, fr, npanb))
+        # the biggest bucket is rare (plan overflow headroom): compile only
+        # the late-trajectory panel counts it could realistically hit
+        big = self.cfg.frontal_buckets[3] if len(self.cfg.frontal_buckets) > 3 else None
+        if big is not None:
+            sigs.append(("full", big, fr, npanb_max))
             if npanb_max > 1:
-                sigs.append(("full", b, fr, max(1, npanb_max // 2)))
+                sigs.append(("full", big, fr, npanb_max // 2))
         return tuple(sigs)
 
     def precompile(self, signatures=None, nnodes: Optional[int] = None) -> int:
