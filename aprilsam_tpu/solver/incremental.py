@@ -1286,20 +1286,27 @@ class IncrementalSolver:
     def default_signatures(self, nnodes: Optional[int] = None):
         """Derive the step-shape signatures from the config and (optionally)
         the expected trajectory length.  EVERY active-panel count the replay
-        passes through is included (1, 2, 4, ... npanb_max): a growing
-        trajectory crosses each doubling exactly once, and a single mid-run
-        compile (10-60 s) costs more than the entire optimized replay — the
-        r01->r02 TPU bench was dominated by exactly these compiles.  All
-        entries persist in the on-disk compilation cache, so warmup is cheap
-        after the first run on a machine."""
+        passes through is included (1, 2, 4, ... then npanb_max itself, which
+        need not be a power of two): a growing trajectory crosses each
+        doubling exactly once, and a single mid-run compile (10-60 s) costs
+        more than the entire optimized replay — the r01->r02 TPU bench was
+        dominated by exactly these compiles.  All entries persist in the
+        on-disk compilation cache, so warmup is cheap after the first run on
+        a machine.  Signatures cover the common MAXFR=32 fringe bucket; a
+        step whose fringe exceeds 32 hits the MAXFR=128 axis, which compiles
+        lazily (rare: never observed on M3500)."""
         fr = 32
         npanb_max = self._npanb(nnodes if nnodes
                                 else self.cfg.node_capacity)
         npanbs = []
         b = 1
-        while b <= npanb_max:
+        while b < npanb_max:
             npanbs.append(b)
             b *= 2
+        # _npanb clamps to NPAN = node_capacity // panel_nodes, which need
+        # not be a power of two: append the terminal steady-state count
+        # explicitly so the doubling loop can never miss it
+        npanbs.append(npanb_max)
         sigs = [("fast", self.cfg.frontal_buckets[0], fr)]
         for b in self.cfg.frontal_buckets[:3]:
             for npanb in npanbs:
@@ -1309,8 +1316,9 @@ class IncrementalSolver:
         big = self.cfg.frontal_buckets[3] if len(self.cfg.frontal_buckets) > 3 else None
         if big is not None:
             sigs.append(("full", big, fr, npanb_max))
-            if npanb_max > 1:
-                sigs.append(("full", big, fr, npanb_max // 2))
+            second = npanbs[-2] if len(npanbs) > 1 else None
+            if second is not None:
+                sigs.append(("full", big, fr, second))
         return tuple(sigs)
 
     def precompile(self, signatures=None, nnodes: Optional[int] = None) -> int:

@@ -67,8 +67,6 @@ def main():
         def densify_mm(rows, fc):
             oh = jax.nn.one_hot(jnp.clip(fc, 0, M), M, dtype=dtype)
             oh = oh * (fc >= 0)[..., None]                    # [M, BCAP, M]
-            ohs = jnp.kron(oh.reshape(M * BCAP, M),
-                           jnp.eye(1, dtype=dtype))           # placeholder
             # scalar layout: Rrows [M, 3, BCAP*3]; ohS [M, BCAP*3, M*3]
             Rr = rows.transpose(0, 2, 1, 3).reshape(M, 3, BCAP * 3)
             ohS = jnp.einsum("rbc,ij->rbicj", oh,
