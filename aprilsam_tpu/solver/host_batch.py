@@ -14,8 +14,10 @@ configurations where the host would be the bottleneck.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +27,59 @@ from .batch import BatchInfo
 from .config import SolverConfig
 from .state import DeviceState
 from .symbolic import SymbolicState
+
+
+def _bucket_up(n: int, step: int, cap: int) -> int:
+    return min(cap, max(step, ((n + step - 1) // step) * step))
+
+
+@partial(jax.jit, static_argnames=("NC", "MAXZ", "log_mode"),
+         donate_argnames=("ds",))
+def _expand_batch_state(ds: DeviceState, blocks_c, idx_c, nnz_c, y_c,
+                        st_c, lp_c, dx_c, pos_c, order_c, chi2_val,
+                        NC: int, MAXZ: int, log_mode: int) -> DeviceState:
+    """Scatter the compact post-epoch solver state into the padded device
+    layout.  The epoch's R factor is uploaded as [NC, MAXZ] (NC/MAXZ =
+    bucketed nnodes / max row nnz) instead of the full [NCAP, BCAP] padding:
+    through the TPU relay (~50 MB/s saturated) the padded upload costs
+    ~0.3 s per epoch x ~51 M3500 epochs — the single biggest hidden cost of
+    the round-2 bench."""
+    NCAP = ds.R_idx.shape[0]
+    R_blocks = jnp.zeros_like(ds.R_blocks).at[:NC, :MAXZ].set(blocks_c)
+    R_idx = jnp.full_like(ds.R_idx, NCAP).at[:NC, :MAXZ].set(idx_c)
+    R_nnz = jnp.zeros_like(ds.R_nnz).at[:NC].set(nnz_c)
+    y = jnp.zeros_like(ds.y).at[:NC].set(y_c)
+    state = ds.state.at[:NC].set(st_c)
+    l_point = ds.l_point.at[:NC].set(lp_c)
+    delta_X = ds.delta_X.at[:NC].set(dx_c)
+    # identity position map beyond NC: nodes appended between epochs take
+    # position == node id (the ordering extension is the identity,
+    # aprilsam.c:392-397), and the full-path back-substitution reads ds.pos
+    # for every node — stale values there send new nodes to slot 0
+    ar = jnp.arange(NCAP, dtype=jnp.int32)
+    pos = ar.at[:NC].set(pos_c)
+    order = ar.at[:NC].set(order_c)
+
+    LOG = ds.chi2_log.shape[0]
+    log_ptr = ds.log_ptr
+    chi2_log = ds.chi2_log
+    if log_mode == 0:
+        chi2_log = chi2_log.at[
+            jnp.minimum(log_ptr, LOG)].set(chi2_val, mode="drop")
+        log_ptr = log_ptr + 1
+    elif log_mode == 1:
+        chi2_log = chi2_log.at[
+            jnp.where(log_ptr >= 1, jnp.minimum(log_ptr - 1, LOG), LOG)
+        ].set(chi2_val, mode="drop")
+
+    return ds._replace(
+        R_blocks=R_blocks, R_idx=R_idx, R_nnz=R_nnz, y=y,
+        state=state, l_point=l_point, delta_X=delta_X,
+        relinearized=jnp.zeros_like(ds.relinearized),
+        pos=pos, order=order,
+        start_over=jnp.int32(0), spd_ok=jnp.asarray(True),
+        chi2_log=chi2_log, log_ptr=log_ptr,
+    )
 
 
 def _adjacency_csr(nnodes: int, ftypes, fnodes) -> Tuple[np.ndarray, np.ndarray]:
@@ -88,59 +143,45 @@ def host_batch_epoch(
     )
     sym.rebuild_children()
 
-    # pack padded device arrays
+    # pack COMPACT host arrays (bucketed [NC, MAXZ] instead of the padded
+    # [NCAP, BCAP]); the jitted _expand_batch_state scatters them into the
+    # padded device layout with the old state donated in place
     dt = ds.R_blocks.dtype
-    R_blocks = np.zeros((NCAP, BCAP, 3, 3), dtype=dt)
-    R_blocks[:nnodes] = blocks
-    R_idx = np.full((NCAP, BCAP), NCAP, dtype=np.int32)
-    idx = patterns.copy()
+    NC = _bucket_up(nnodes, 512, NCAP)
+    MAXZ = _bucket_up(int(max(int(maxnnz), int(nnz.max(initial=1)))), 8, BCAP)
+    blocks_c = np.zeros((NC, MAXZ, 3, 3), dtype=dt)
+    blocks_c[:nnodes] = blocks[:, :MAXZ]
+    idx_c = np.full((NC, MAXZ), NCAP, dtype=np.int32)
+    idx = patterns[:, :MAXZ].copy()
     idx[idx >= nnodes] = NCAP
-    R_idx[:nnodes] = idx
-    R_nnz = np.zeros(NCAP, dtype=np.int32)
-    R_nnz[:nnodes] = nnz
-    y_full = np.zeros((NCAP, 3), dtype=dt)
-    y_full[:nnodes] = np.asarray(y).reshape(nnodes, 3)
-    st = np.asarray(ds.state)
-    st_new = st.copy()
-    st_new[:nnodes] = new_states
+    idx_c[:nnodes] = idx
+    nnz_c = np.zeros(NC, dtype=np.int32)
+    nnz_c[:nnodes] = nnz
+    y_c = np.zeros((NC, 3), dtype=dt)
+    y_c[:nnodes] = np.asarray(y).reshape(nnodes, 3)
+
+    # state rows nnodes..NC keep their previous values (fetched once; small)
+    st_old, dx_old = (np.asarray(a) for a in jax.device_get(
+        (ds.state[:NC], ds.delta_X[:NC])))
+    st_c = st_old.astype(dt).copy()
+    st_c[:nnodes] = new_states
     # relinearize-all happened BEFORE the solve: the stored linearization
     # points are the pre-update states (aprilsam.c:131-135), and R/y are
     # consistent with them
-    lp_new = st.copy()
-    lp_new[:nnodes] = states
-    dx = np.asarray(ds.delta_X)
-    dx_new = dx.copy()
-    dx_new[:nnodes] = delta
-    pos_full = np.arange(NCAP, dtype=np.int32)
-    pos_full[:nnodes] = pos
-    order_full = np.arange(NCAP, dtype=np.int32)
-    order_full[:nnodes] = order
+    lp_c = st_old.astype(dt).copy()
+    lp_c[:nnodes] = states
+    dx_c = dx_old.astype(dt).copy()
+    dx_c[:nnodes] = delta
+    # identity beyond nnodes (appended nodes take position == id)
+    pos_c = np.arange(NC, dtype=np.int32)
+    pos_c[:nnodes] = pos
+    order_c = np.arange(NC, dtype=np.int32)
+    order_c[:nnodes] = order
 
-    log_ptr = int(ds.log_ptr)
-    chi2_log = ds.chi2_log
-    LOG = chi2_log.shape[0]
-    if log_mode == 0:
-        if log_ptr < LOG:  # overflow drops; chi2_history() raises on readback
-            chi2_log = chi2_log.at[log_ptr].set(chi2)
-        log_ptr += 1
-    elif log_mode == 1:
-        if 0 <= log_ptr - 1 < LOG:
-            chi2_log = chi2_log.at[log_ptr - 1].set(chi2)
-
-    ds = ds._replace(
-        R_blocks=jnp.asarray(R_blocks),
-        R_idx=jnp.asarray(R_idx),
-        R_nnz=jnp.asarray(R_nnz),
-        y=jnp.asarray(y_full),
-        state=jnp.asarray(st_new),
-        l_point=jnp.asarray(lp_new),
-        delta_X=jnp.asarray(dx_new),
-        relinearized=jnp.zeros_like(ds.relinearized),
-        pos=jnp.asarray(pos_full),
-        order=jnp.asarray(order_full),
-        start_over=jnp.int32(0),
-        spd_ok=jnp.asarray(True),
-        chi2_log=chi2_log,
-        log_ptr=jnp.int32(log_ptr),
-    )
+    ds = _expand_batch_state(
+        ds, jnp.asarray(blocks_c), jnp.asarray(idx_c), jnp.asarray(nnz_c),
+        jnp.asarray(y_c), jnp.asarray(st_c), jnp.asarray(lp_c),
+        jnp.asarray(dx_c), jnp.asarray(pos_c), jnp.asarray(order_c),
+        jnp.asarray(chi2, dtype=ds.chi2_log.dtype),
+        NC=NC, MAXZ=MAXZ, log_mode=log_mode)
     return ds, sym, BatchInfo(chi2=chi2, spd=spd, n=nnodes)
