@@ -52,6 +52,17 @@ class SolverConfig:
     # the panel sweep).
     bundle_size: int = 1
     bundle_size_full: int = 4
+    # Mixed bundles: fast and full steps share ONE executable (per-slot
+    # lax.switch over fast@16 / full@16 / full@64 / full@256), so the queue
+    # no longer flushes on every path flip — the M3500 mix alternates
+    # densely and signature-homogeneous bundles fragment into mostly 1-2
+    # slot dispatches.  Plans that do not fit the mixed layout (affected
+    # set > 256, fringe > 32 on a fast step, pattern rows wider than
+    # ridx_pack_capacity) fall back to the legacy per-signature dispatch.
+    mixed_bundles: bool = True
+    # Pattern-row columns packed per affected row in bundle uploads (rows
+    # are padded back to row_block_capacity with sentinels on device).
+    ridx_pack_capacity: int = 48
 
     # --- numerics ---
     dtype: np.dtype = np.float64   # float32 on TPU for speed, float64 for parity tests

@@ -33,6 +33,59 @@ def _bucket_up(n: int, step: int, cap: int) -> int:
     return min(cap, max(step, ((n + step - 1) // step) * step))
 
 
+def expand_maxz(maxnnz: int, BCAP: int) -> int:
+    """Bucket the R-row width of the compact epoch upload.  Few buckets =
+    few _expand_batch_state compiles (each specialization is a fresh XLA
+    compile; M3500's final-epoch maxnnz is 48, so (48, 96) covers real
+    trajectories with at most two)."""
+    for b in (48, 96):
+        if maxnnz <= b <= BCAP:
+            return b
+    return BCAP
+
+
+def precompile_expand(ds: DeviceState, cfg: SolverConfig, nnodes_max: int,
+                      log_modes=(0, 1, 2)) -> Tuple[DeviceState, int]:
+    """Drive every (NC, MAXZ, log_mode) specialization a replay of
+    nnodes_max poses can hit with zero-filled compact payloads, so no
+    _expand_batch_state compile lands mid-run (each costs seconds through
+    the TPU relay's compile server — the round-3 profile attributed most of
+    the 0.8 s/epoch batch cost to exactly these).  The dead payloads write
+    zero rows [0, NC) of R as empty (nnz 0, sentinel idx) and restore
+    nothing — callers use it only on a fresh pre-warmup solver."""
+    NCAP = cfg.node_capacity
+    BCAP = cfg.row_block_capacity
+    dt = ds.R_blocks.dtype
+    count = 0
+    nc_top = _bucket_up(nnodes_max or NCAP, 1024, NCAP)
+    ncs = []
+    nc = 1024
+    while True:
+        ncs.append(min(nc, NCAP))
+        if nc >= nc_top:
+            break
+        nc += 1024
+    maxzs = {expand_maxz(1, BCAP), expand_maxz(49, BCAP)}
+    for NC in dict.fromkeys(ncs):
+        for MAXZ in sorted(maxzs):
+            for mode in log_modes:
+                ds = _expand_batch_state(
+                    ds,
+                    jnp.zeros((NC, MAXZ, 3, 3), dtype=dt),
+                    jnp.full((NC, MAXZ), NCAP, dtype=jnp.int32),
+                    jnp.zeros(NC, dtype=jnp.int32),
+                    jnp.zeros((NC, 3), dtype=dt),
+                    jnp.zeros((NC, 3), dtype=dt),
+                    jnp.zeros((NC, 3), dtype=dt),
+                    jnp.zeros((NC, 3), dtype=dt),
+                    jnp.arange(NC, dtype=jnp.int32),
+                    jnp.arange(NC, dtype=jnp.int32),
+                    jnp.asarray(0.0, dtype=ds.chi2_log.dtype),
+                    NC=NC, MAXZ=MAXZ, log_mode=mode)
+                count += 1
+    return ds, count
+
+
 @partial(jax.jit, static_argnames=("NC", "MAXZ", "log_mode"),
          donate_argnames=("ds",))
 def _expand_batch_state(ds: DeviceState, blocks_c, idx_c, nnz_c, y_c,
@@ -147,8 +200,8 @@ def host_batch_epoch(
     # [NCAP, BCAP]); the jitted _expand_batch_state scatters them into the
     # padded device layout with the old state donated in place
     dt = ds.R_blocks.dtype
-    NC = _bucket_up(nnodes, 512, NCAP)
-    MAXZ = _bucket_up(int(max(int(maxnnz), int(nnz.max(initial=1)))), 8, BCAP)
+    NC = _bucket_up(nnodes, 1024, NCAP)
+    MAXZ = expand_maxz(int(max(int(maxnnz), int(nnz.max(initial=1)))), BCAP)
     blocks_c = np.zeros((NC, MAXZ, 3, 3), dtype=dt)
     blocks_c[:nnodes] = blocks[:, :MAXZ]
     idx_c = np.full((NC, MAXZ), NCAP, dtype=np.int32)

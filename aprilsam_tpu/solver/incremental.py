@@ -103,6 +103,8 @@ class StepPlan:
                           # ON DEVICE from this + the resident R_idx, so the
                           # upload stays small (relay h2d is both
                           # latency-bound and ~50 MB/s when saturated)
+    max_rnnz: int = 0     # max nonzeros over the new pattern rows (mixed-
+                          # bundle eligibility: rows must fit RCAP columns)
 
 
 def _bucket(n: int, buckets) -> Optional[int]:
@@ -157,19 +159,27 @@ def floats_layout(K: int):
     return off, o
 
 
-def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype):
+def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype,
+                  RCAP: Optional[int] = None):
     """Static segment offsets of the single packed int32 plan vector.
 
     Every per-step input (control ints, measurement floats as raw bits, the
     new R pattern rows) rides in ONE h2d transfer: through the TPU relay
     each transfer costs ~2-3 ms of latency regardless of size (and ~50 MB/s
     when saturated), so one small merged buffer per dispatch is the
-    difference between ~12 ms and ~2 ms of upload time per bundle."""
+    difference between ~12 ms and ~2 ms of upload time per bundle.
+
+    RCAP < BCAP packs only the first RCAP pattern columns per affected row
+    (the kernel pads back to BCAP with sentinels); plans whose rows carry
+    more nonzeros are ineligible and dispatch through the full-width
+    layout."""
+    if RCAP is None:
+        RCAP = BCAP
     _, LI = ints_layout(MAXAFF, MAXFR, K)
     _, LF = floats_layout(K)
     words = 2 if np.dtype(dtype) == np.float64 else 1
     LFW = LF * words
-    LM = MAXAFF * BCAP
+    LM = MAXAFF * RCAP
     seg = {
         "ints": (0, LI),
         "floats": (LI, LI + LFW),
@@ -178,17 +188,22 @@ def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype):
     return seg, LI + LFW + LM
 
 
-def pack_plan(plan: "StepPlan", dtype) -> np.ndarray:
+def pack_plan(plan: "StepPlan", dtype,
+              RCAP: Optional[int] = None) -> np.ndarray:
     """Serialize a StepPlan into the packed int32 vector (float payload as
     raw bits via .view, exact for both float32 and float64 modes)."""
     fbits = np.ascontiguousarray(
         plan.floats.astype(np.dtype(dtype))).view(np.int32)
-    return np.concatenate([plan.ints, fbits, plan.ridx.ravel()])
+    ridx = plan.ridx if RCAP is None else plan.ridx[:, :RCAP]
+    return np.concatenate([plan.ints, fbits, np.ascontiguousarray(ridx).ravel()])
 
 
-def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype):
+def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype,
+                 RCAP: Optional[int] = None):
+    if RCAP is None:
+        RCAP = BCAP
     _, LF = floats_layout(K)
-    seg, L = packed_layout(MAXAFF, MAXFR, K, BCAP, dtype)
+    seg, L = packed_layout(MAXAFF, MAXFR, K, BCAP, dtype, RCAP)
     ints = packed[seg["ints"][0]:seg["ints"][1]]
     fw = packed[seg["floats"][0]:seg["floats"][1]]
     if np.dtype(dtype) == np.float64:
@@ -196,7 +211,7 @@ def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype):
             fw.reshape(LF, 2), jnp.float64)
     else:
         floats = jax.lax.bitcast_convert_type(fw, jnp.float32)
-    ridx = packed[seg["ridx"][0]:seg["ridx"][1]].reshape(MAXAFF, BCAP)
+    ridx = packed[seg["ridx"][0]:seg["ridx"][1]].reshape(MAXAFF, RCAP)
     return ints, floats, ridx
 
 
@@ -348,6 +363,14 @@ def plan_step(
             fringe = fringe[:0]
             MAXFR = 32
 
+    # Full-path steps never read the fringe (the panel sweep updates every
+    # node), so pack them at the canonical MAXFR=32 layout with an empty
+    # fringe — this is what lets fast and full slots share one mixed-bundle
+    # executable regardless of the actual fringe size.
+    if naffected > cfg.small_path_max or fringe_overflow:
+        fringe = fringe[:0]
+        MAXFR = 32
+
     # 5. pack
     off_i, len_i = ints_layout(MAXAFF, MAXFR, K)
     off_f, len_f = floats_layout(K)
@@ -427,6 +450,7 @@ def plan_step(
         fringe_overflow=fringe_overflow,
         ints=ints, floats=flts,
         ridx=pad2(new_rows, MAXAFF, NCAP),
+        max_rnnz=int(new_nnz.max()) if len(new_nnz) else 0,
     )
 
 
@@ -651,7 +675,8 @@ def _finish(ds: DeviceState, chi2, start_over, spd, live, log_chi2: bool):
 
 def _fast_body(ds: DeviceState, packed,
                MAXAFF: int, MAXFR: int, KNEW: int,
-               delta_xy: float, delta_theta: float, log_chi2: bool):
+               delta_xy: float, delta_theta: float, log_chi2: bool,
+               RCAP: Optional[int] = None):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
@@ -659,7 +684,10 @@ def _fast_body(ds: DeviceState, packed,
     off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
     off_f, _ = floats_layout(KNEW)
     ints, floats, ridx = _unpack_plan(
-        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype)
+        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP)
+    if ridx.shape[1] < BCAP:
+        ridx = jnp.pad(ridx, ((0, 0), (0, BCAP - ridx.shape[1])),
+                       constant_values=NCAP)
 
     ds, R_up, y_new, row_valid, scalar_valid, spd, pos2f = _frontal_core(
         ds, ints, floats, ridx, off_i, off_f, MAXAFF, KNEW)
@@ -764,14 +792,18 @@ def inc_bundle_fast(ds: DeviceState, packed_b,
 
 def _full_body(ds: DeviceState, packed,
                MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, NPANB: int,
-               delta_xy: float, delta_theta: float, log_chi2: bool):
+               delta_xy: float, delta_theta: float, log_chi2: bool,
+               RCAP: Optional[int] = None):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
     off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
     off_f, _ = floats_layout(KNEW)
     ints, floats, ridx = _unpack_plan(
-        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype)
+        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP)
+    if ridx.shape[1] < BCAP:
+        ridx = jnp.pad(ridx, ((0, 0), (0, BCAP - ridx.shape[1])),
+                       constant_values=NCAP)
 
     ds, R_up, y_new, row_valid, scalar_valid, spd, _pos2f = _frontal_core(
         ds, ints, floats, ridx, off_i, off_f, MAXAFF, KNEW)
@@ -867,6 +899,74 @@ def inc_bundle_full(ds: DeviceState, packed_b,
                                MAXAFF, MAXFR, KNEW, PANEL, NPANB,
                                delta_xy, delta_theta, log_chi2)
         return ds, stats
+
+    return jax.lax.scan(body, ds, packed_b)
+
+
+# ----------------------------------------------------------------------
+# mixed bundles: fast AND full steps in ONE executable
+# ----------------------------------------------------------------------
+#
+# The M3500 replay interleaves fast and full steps densely (census:
+# 2225 fast / 1224 full), so signature-homogeneous bundles fragment — every
+# path flip flushes the queue, multiplying dispatches and h2d round trips
+# (the round-2 TPU bench lost most of its time exactly there, see
+# profile_alternation).  A mixed bundle gives every slot the SAME packed
+# length (1 + the largest branch layout) and branches per slot with
+# lax.switch: slot word 0 selects fast@16 / full@16 / full@64 / full@256,
+# and the remaining words are that branch's own packed layout (a prefix of
+# the slot).  lax.switch on TPU lowers to a real conditional, so a fast
+# slot never pays the panel sweep.
+
+MIXED_BUCKETS = (16, 64, 256)
+MIXED_FR = 32
+
+
+def mixed_slot_len(K: int, BCAP: int, dtype, RCAP: int) -> int:
+    lmax = 0
+    for M in MIXED_BUCKETS:
+        _, L = packed_layout(M, MIXED_FR, K, BCAP, dtype, RCAP)
+        lmax = max(lmax, L)
+    return 1 + lmax
+
+
+def _mixed_slot_body(ds: DeviceState, packed,
+                     KNEW: int, PANEL: int, NPANB: int, RCAP: int,
+                     delta_xy: float, delta_theta: float, log_chi2: bool):
+    BCAP = ds.R_idx.shape[1]
+    dtype = ds.R_blocks.dtype
+    sel = packed[0]
+
+    def fast16(ds):
+        _, L = packed_layout(16, MIXED_FR, KNEW, BCAP, dtype, RCAP)
+        return _fast_body(ds, jax.lax.slice(packed, (1,), (1 + L,)),
+                          16, MIXED_FR, KNEW,
+                          delta_xy, delta_theta, log_chi2, RCAP)
+
+    def full(M):
+        def f(ds):
+            _, L = packed_layout(M, MIXED_FR, KNEW, BCAP, dtype, RCAP)
+            return _full_body(ds, jax.lax.slice(packed, (1,), (1 + L,)),
+                              M, MIXED_FR, KNEW, PANEL, NPANB,
+                              delta_xy, delta_theta, log_chi2, RCAP)
+        return f
+
+    return jax.lax.switch(
+        sel, (fast16, full(16), full(64), full(256)), ds)
+
+
+@partial(jax.jit,
+         static_argnames=("KNEW", "PANEL", "NPANB", "RCAP",
+                          "delta_xy", "delta_theta", "log_chi2"),
+         donate_argnames=("ds",))
+def inc_bundle_mixed(ds: DeviceState, packed_b,
+                     KNEW: int, PANEL: int, NPANB: int, RCAP: int,
+                     delta_xy: float, delta_theta: float, log_chi2: bool):
+    """B heterogeneous steps in one dispatch (per-slot lax.switch)."""
+
+    def body(ds, packed):
+        return _mixed_slot_body(ds, packed, KNEW, PANEL, NPANB, RCAP,
+                                delta_xy, delta_theta, log_chi2)
 
     return jax.lax.scan(body, ds, packed_b)
 
@@ -993,12 +1093,15 @@ class IncrementalSolver:
                 break
             except OverflowError:
                 self._grow_row_capacity()
-        jax.block_until_ready(self.ds.state)
+        if record_time and self.cfg.wallclock_gate:
+            # param->batch_time is recorded only when a batch is triggered
+            # from the incremental path (aprilsam.c:568-572); blocking makes
+            # the recorded time honest, but is pure pipeline stall when the
+            # wall-clock gate (its only consumer) is disabled
+            jax.block_until_ready(self.ds.state)
         if self.tp is not None:
             self.tp.stamp("batch_epoch")
         if record_time:
-            # param->batch_time is recorded only when a batch is triggered
-            # from the incremental path (aprilsam.c:568-572)
             self.batch_time_ms = (time.perf_counter() - t0) * 1e3
         # the next dispatch interval would include this epoch's time;
         # restart the deferred-gate clock
@@ -1133,11 +1236,16 @@ class IncrementalSolver:
 
         B = max(1, self.cfg.bundle_size)
         if B > 1:
-            cap = B if fast else max(1, min(B, self.cfg.bundle_size_full))
+            sel = self._mixed_sel(plan, fast)
+            if sel is not None:
+                sig = ("mixed", self._npanb(g.nnodes))
+                cap = B
+            else:
+                cap = B if fast else max(1, min(B, self.cfg.bundle_size_full))
             if self._queue and self._queue_sig != sig:
                 self._dispatch_queue()
             self._queue_sig = sig
-            self._queue.append(plan)
+            self._queue.append((plan, sel))
             self.steps_done += 1
             if len(self._queue) >= cap:
                 self._dispatch_queue()
@@ -1218,6 +1326,62 @@ class IncrementalSolver:
                 log_chi2=self.cfg.log_chi2)
         return stats
 
+    def _mixed_sel(self, plan: StepPlan, fast: bool) -> Optional[int]:
+        """Branch selector of a plan inside a mixed bundle, or None when the
+        plan does not fit the mixed layout (legacy per-signature dispatch)."""
+        cfg = self.cfg
+        if not cfg.mixed_bundles:
+            return None
+        if plan.max_rnnz > cfg.ridx_pack_capacity:
+            return None
+        if cfg.ridx_pack_capacity > cfg.row_block_capacity:
+            return None
+        if fast:
+            return 0 if (plan.MAXAFF <= 16 and plan.MAXFR == MIXED_FR) \
+                else None
+        if plan.MAXFR != MIXED_FR:
+            return None
+        try:
+            return 1 + MIXED_BUCKETS.index(plan.MAXAFF)
+        except ValueError:
+            return None
+
+    def _dead_mixed_row(self) -> np.ndarray:
+        """A no-op mixed slot: fast@16 with m = 0 (live=False everywhere)."""
+        K = self.cfg.new_factor_capacity
+        BCAP = self.cfg.row_block_capacity
+        RCAP = self.cfg.ridx_pack_capacity
+        LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP)
+        row = np.zeros(LEN, dtype=np.int32)
+        seg, _ = packed_layout(16, MIXED_FR, K, BCAP,
+                               self._device_dtype, RCAP)
+        row[1 + seg["ridx"][0]: 1 + seg["ridx"][1]] = self.cfg.node_capacity
+        return row
+
+    def _dispatch_mixed(self, entries, npanb: int):
+        """Dispatch queued (plan, sel) entries through the mixed-bundle
+        executable, padding dead slots to the full bundle width."""
+        K = self.cfg.new_factor_capacity
+        BCAP = self.cfg.row_block_capacity
+        RCAP = self.cfg.ridx_pack_capacity
+        B = max(1, self.cfg.bundle_size)
+        LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP)
+        rows = np.zeros((B, LEN), dtype=np.int32)
+        for i, (plan, sel) in enumerate(entries):
+            body = pack_plan(plan, self._device_dtype, RCAP)
+            rows[i, 0] = sel
+            rows[i, 1: 1 + body.shape[0]] = body
+        if len(entries) < B:
+            rows[len(entries):] = self._dead_mixed_row()[None]
+        packed_b = jnp.asarray(rows)
+        self.ds, stats = inc_bundle_mixed(
+            self.ds, packed_b,
+            KNEW=K, PANEL=self.cfg.panel_nodes, NPANB=npanb, RCAP=RCAP,
+            delta_xy=float(self.cfg.delta_xy),
+            delta_theta=float(self.cfg.delta_theta),
+            log_chi2=self.cfg.log_chi2)
+        return stats
+
     def _dispatch_queue(self):
         """Dispatch the queued plans as one bundled scan (padding dead
         slots); push per-step stats into the pending policy queue."""
@@ -1226,11 +1390,22 @@ class IncrementalSolver:
         sig = self._queue_sig
         k = len(self._queue)
         B = max(1, self.cfg.bundle_size)
+        if sig[0] == "mixed":
+            stats = self._dispatch_mixed(self._queue, sig[1])
+            base = self.steps_done - k
+            step_ms = self._mark_dispatch(k)
+            for i in range(k):
+                self._pending.append(
+                    _Pending(base + i, stats, self._batch_serial, row=i,
+                             step_ms=step_ms))
+            self._queue.clear()
+            self._queue_sig = None
+            return
         if sig[0] == "full":
             B = max(1, min(B, self.cfg.bundle_size_full))
         if k == 1:
             # single-slot bundles use the cheaper single-step jit
-            stats = self._dispatch_one(self._queue[0], sig)
+            stats = self._dispatch_one(self._queue[0][0], sig)
             self._pending.append(
                 _Pending(self.steps_done - 1, stats, self._batch_serial,
                          step_ms=self._mark_dispatch(1)))
@@ -1238,7 +1413,7 @@ class IncrementalSolver:
             self._queue_sig = None
             return
         K = self.cfg.new_factor_capacity
-        plans = self._queue
+        plans = [p for p, _sel in self._queue]
 
         rows = [pack_plan(p, self._device_dtype) for p in plans]
         if k < B:
@@ -1308,9 +1483,15 @@ class IncrementalSolver:
         # explicitly so the doubling loop can never miss it
         npanbs.append(npanb_max)
         sigs = [("fast", self.cfg.frontal_buckets[0], fr)]
-        for b in self.cfg.frontal_buckets[:3]:
-            for npanb in npanbs:
-                sigs.append(("full", b, fr, npanb))
+        if self.cfg.mixed_bundles and self.cfg.bundle_size > 1:
+            # mixed mode: one executable per active-panel count covers every
+            # fast/full step whose plan fits the mixed layout; the legacy
+            # signatures remain only for the rare overflow buckets
+            sigs += [("mixed", npanb) for npanb in npanbs]
+        else:
+            for b in self.cfg.frontal_buckets[:3]:
+                for npanb in npanbs:
+                    sigs.append(("full", b, fr, npanb))
         # the biggest bucket is rare (plan overflow headroom): compile only
         # the late-trajectory panel counts it could realistically hit
         big = self.cfg.frontal_buckets[3] if len(self.cfg.frontal_buckets) > 3 else None
@@ -1335,6 +1516,11 @@ class IncrementalSolver:
         B = max(1, self.cfg.bundle_size)
         count = 0
         for sig in signatures:
+            if sig[0] == "mixed":
+                self._dispatch_mixed([], sig[1])
+                self._pending.clear()
+                count += 1
+                continue
             kind, MAXAFF, MAXFR = sig[0], sig[1], sig[2]
             _, LI = I.ints_layout(MAXAFF, MAXFR, K)
             _, LF = I.floats_layout(K)
@@ -1348,7 +1534,7 @@ class IncrementalSolver:
             self._dispatch_one(plan, sig)
             if B > 1:
                 self._queue_sig = sig
-                self._queue = [plan] * 2
+                self._queue = [(plan, None)] * 2
                 self._dispatch_queue()
             self._pending.clear()  # dead stats carry nothing
             count += 1

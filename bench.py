@@ -134,6 +134,15 @@ def worker() -> int:
     for i, sig in enumerate(sigs):
         warm.solver.precompile(signatures=(sig,))
         _p("precompile", i=i + 1, n=len(sigs), sig=list(map(str, sig)))
+    # batch-epoch expand kernels: compile every (NC, MAXZ, log_mode)
+    # specialization on a throwaway state (the kernel overwrites solver
+    # state, so it cannot run on a live solver)
+    from aprilsam_tpu.solver.host_batch import precompile_expand
+    from aprilsam_tpu.solver.state import init_device_state
+
+    _, nexp = precompile_expand(init_device_state(cfg), cfg, loaded.nnodes,
+                                log_modes=(0, 2))
+    _p("precompile_expand", n=nexp)
     del warm
 
     rep = Replay(loaded, cfg, batch_update_only=False, deferred=True)

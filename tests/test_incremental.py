@@ -269,6 +269,77 @@ def test_bundled_matches_unbundled():
     np.testing.assert_allclose(h4, h1, atol=1e-12)
 
 
+def test_mixed_bundles_match_legacy_and_narrow_rcap():
+    """The mixed-bundle executable (per-slot lax.switch over fast/full
+    branches, default on) must reproduce the legacy per-signature bundles
+    bit-for-bit, including when a narrow ridx_pack_capacity forces some
+    (or all) plans down the legacy fallback path."""
+    g = chain_graph(40, y_noise=0.05, seed=3)
+    for (a, b) in [(2, 20), (5, 30), (10, 38)]:
+        z = np_xyt_inv_mul(g.init[a], g.init[b]) + np.array([0.1, -0.05, 0.02])
+        g.add_factor_xyt(a, b, z, W_ODO)
+
+    def replay(**cfg_kw):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg(nthreshold=10**9), bundle_size=4, policy_lag=4,
+            **cfg_kw)
+        s = IncrementalSolver(cfg)
+        from aprilsam_tpu.graph import FactorGraph
+        from aprilsam_tpu.solver.incremental import SeedSpec
+
+        live = FactorGraph()
+        by_max = [[] for _ in range(40)]
+        for f in range(g.nfactors):
+            a, b = g.fnodes[f]
+            by_max[int(max(a, b))].append(f)
+        mixed_dispatches = 0
+        orig = s._dispatch_mixed
+
+        def counting(entries, npanb):
+            nonlocal mixed_dispatches
+            mixed_dispatches += len(entries)
+            return orig(entries, npanb)
+
+        s._dispatch_mixed = counting
+        for k in range(40):
+            live.add_node(g.init[k], init=g.init[k])
+            seeds = []
+            for f in by_max[k]:
+                a, b = (int(v) for v in g.fnodes[f])
+                if b >= 0:
+                    if abs(a - b) == 1:
+                        if a < b:
+                            seeds.append(SeedSpec(a, b, g.fz[f], False))
+                        else:
+                            seeds.append(SeedSpec(b, a, g.fz[f], True))
+                    live.add_factor_xyt(a, b, g.fz[f], g.fW[f])
+                else:
+                    live.add_factor_xytpos(a, g.fz[f], g.fW[f])
+            if k == 0:
+                s.solve(live)
+            else:
+                s.update(live, seeds=seeds)
+        s.flush(live)
+        return (np.asarray(s.ds.state[:40]), s.chi2_history(),
+                mixed_dispatches)
+
+    st_m, h_m, n_m = replay(mixed_bundles=True)
+    st_l, h_l, n_l = replay(mixed_bundles=False)
+    assert n_m > 0, "mixed path never exercised"
+    assert n_l == 0
+    np.testing.assert_allclose(st_m, st_l, atol=1e-12)
+    np.testing.assert_allclose(h_m, h_l, atol=1e-12)
+
+    # a ridx_pack_capacity too narrow for any plan row forces every step
+    # down the legacy fallback — still identical
+    st_n, h_n, n_n = replay(mixed_bundles=True, ridx_pack_capacity=1)
+    assert n_n == 0, "narrow RCAP should have fallen back to legacy"
+    np.testing.assert_allclose(st_n, st_l, atol=1e-12)
+    np.testing.assert_allclose(h_n, h_l, atol=1e-12)
+
+
 @pytest.mark.parametrize("backend", ["device", "host"])
 def test_plan_overflow_fallback_ingests_new_factors(backend):
     """A step whose plan overflows (> new_factor_capacity factors at once)
