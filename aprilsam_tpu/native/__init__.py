@@ -82,6 +82,7 @@ def _load():
         lib.asn_plan_step.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _i32, _i32, _i32, _i32, _i32,
+            _i32, _i32, _i32,
             _i32, ctypes.c_int32,
             _i32, _i32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
@@ -147,14 +148,18 @@ def batch_solve(n, states, fa, fb, fz, fW, pn, pz, pW, order, bcap,
     return blocks, y, x, new_states, delta, float(chi2[0]), rc == 0
 
 def plan_step_native(nn, ncap, bcap, parents, pat_idx, pat_nnz, mark, token,
+                     kid_head, kid_next, kid_prev,
                      touched, ea, eb, maxaff, fr_cap, F_out, fringe_out,
                      m_out, nfr_out) -> int:
     """In-place incremental-step symbolic planning (see asn_plan_step).
+    kid_head/next/prev are the maintained child lists of the parent array
+    (windowed fringe scan).
 
     Returns the C return code: 0 ok, 1 affected-overflow (no mutation),
     2 bcap overflow, 3 invariant violation."""
     lib = _load()
     return lib.asn_plan_step(
         nn, ncap, bcap, parents, pat_idx.reshape(-1), pat_nnz, mark, token,
+        kid_head, kid_next, kid_prev,
         touched, len(touched), ea, eb, len(ea),
         maxaff, fr_cap, F_out, m_out, fringe_out, nfr_out)

@@ -609,11 +609,43 @@ int asn_batch_solve(
 /* 3 invariant violation (endpoint/parent not affected).                */
 /* ------------------------------------------------------------------ */
 
+/* O(1) child-list maintenance (doubly-linked: head per parent, prev/next
+ * per child).  Lets the fringe scan below walk only the children of
+ * affected rows instead of every position — the old O(nn) sweep was
+ * ~0.1 ms/step at 100k poses, exactly the budget this planner exists to
+ * save. */
+static inline void asn_kid_unlink(int32_t c, int32_t old_par,
+                                  int32_t *kid_head, int32_t *kid_next,
+                                  int32_t *kid_prev)
+{
+    if (old_par < 0) return;
+    int32_t prev = kid_prev[c], next = kid_next[c];
+    if (prev >= 0) kid_next[prev] = next; else kid_head[old_par] = next;
+    if (next >= 0) kid_prev[next] = prev;
+    kid_prev[c] = -1;
+    kid_next[c] = -1;
+}
+
+static inline void asn_kid_link(int32_t c, int32_t par,
+                                int32_t *kid_head, int32_t *kid_next,
+                                int32_t *kid_prev)
+{
+    if (par < 0) return;
+    int32_t h = kid_head[par];
+    kid_next[c] = h;
+    kid_prev[c] = -1;
+    if (h >= 0) kid_prev[h] = c;
+    kid_head[par] = c;
+}
+
 int asn_plan_step(int32_t nn, int32_t ncap, int32_t bcap,
                   int32_t *RESTRICT parents,
                   int32_t *RESTRICT pat_idx,
                   int32_t *RESTRICT pat_nnz,
                   int32_t *RESTRICT mark, int32_t *RESTRICT token_io,
+                  int32_t *RESTRICT kid_head,
+                  int32_t *RESTRICT kid_next,
+                  int32_t *RESTRICT kid_prev,
                   const int32_t *RESTRICT touched, int32_t nt,
                   const int32_t *RESTRICT ea, const int32_t *RESTRICT eb,
                   int32_t ne,
@@ -621,6 +653,7 @@ int asn_plan_step(int32_t nn, int32_t ncap, int32_t bcap,
                   int32_t *RESTRICT F_out, int32_t *RESTRICT m_out,
                   int32_t *RESTRICT fringe_out, int32_t *RESTRICT nfr_out)
 {
+    (void)nn;
     int32_t token = ++token_io[0];
     int m = 0;
 
@@ -677,7 +710,11 @@ int asn_plan_step(int32_t nn, int32_t ncap, int32_t bcap,
         int32_t *row = pat_idx + (size_t)p * bcap;
         int32_t k = pat_nnz[p];
         int32_t parent = (k >= 2) ? row[1] : -1;
-        parents[p] = parent;
+        if (parent != parents[p]) {
+            asn_kid_unlink(p, parents[p], kid_head, kid_next, kid_prev);
+            asn_kid_link(p, parent, kid_head, kid_next, kid_prev);
+            parents[p] = parent;
+        }
         if (parent < 0) continue;
         if (mark[parent] != token) { free(scratch); return 3; }
         /* sorted union: parent_row |= row[1:] */
@@ -705,14 +742,29 @@ int asn_plan_step(int32_t nn, int32_t ncap, int32_t bcap,
     }
     free(scratch);
 
-    /* 4. fringe: positions outside F whose (new) parent is inside F */
+    /* 4. fringe: positions outside F whose (new) parent is inside F.
+     * Walk only the child lists of affected rows — O(|F| + fringe), not
+     * O(nn). */
     int nfr = 0;
-    for (int32_t c = 0; c < nn; c++) {
-        if (mark[c] == token) continue;
-        int32_t par = parents[c];
-        if (par >= 0 && mark[par] == token) {
+    for (int i = 0; i < m; i++) {
+        int32_t p = F_out[i];
+        for (int32_t c = kid_head[p]; c >= 0; c = kid_next[c]) {
+            if (mark[c] == token) continue;
             if (nfr < fr_cap) fringe_out[nfr] = c;
             nfr++;
+        }
+    }
+    /* ascending order (python-planner parity); past fr_cap the fringe is
+     * unused — overflow forces the full path, which never reads it */
+    if (nfr <= fr_cap) {
+        for (int i = 1; i < nfr; i++) {
+            int32_t v = fringe_out[i];
+            int j = i - 1;
+            while (j >= 0 && fringe_out[j] > v) {
+                fringe_out[j + 1] = fringe_out[j];
+                j--;
+            }
+            fringe_out[j + 1] = v;
         }
     }
     nfr_out[0] = nfr;

@@ -230,6 +230,23 @@ def _ensure_native_sym(sym: SymbolicState, NCAP: int, BCAP: int) -> bool:
         sym.mark = np.zeros(NCAP, dtype=np.int32)
         sym.token = np.zeros(1, dtype=np.int32)
         sym.patterns_stale = False
+        # child lists over the parent array (windowed fringe scan): the C
+        # planner maintains them O(1) per reparenting; rebuild per epoch
+        kid_head = np.full(NCAP, -1, dtype=np.int32)
+        kid_next = np.full(NCAP, -1, dtype=np.int32)
+        kid_prev = np.full(NCAP, -1, dtype=np.int32)
+        for c in range(sym.nnodes):
+            p = int(sym.parents[c])
+            if p < 0:
+                continue
+            h = kid_head[p]
+            kid_next[c] = h
+            if h >= 0:
+                kid_prev[h] = c
+            kid_head[p] = c
+        sym.kid_head = kid_head
+        sym.kid_next = kid_next
+        sym.kid_prev = kid_prev
     return True
 
 
@@ -301,7 +318,8 @@ def plan_step(
         nfrbuf = np.zeros(1, dtype=np.int32)
         rc = native.plan_step_native(
             nn, NCAP, BCAP, sym.parents, sym.pad_idx, sym.pad_nnz,
-            sym.mark, sym.token, touched_pos,
+            sym.mark, sym.token,
+            sym.kid_head, sym.kid_next, sym.kid_prev, touched_pos,
             np.ascontiguousarray(ea_pos), np.ascontiguousarray(eb_pos),
             MAXCAP, FRCAP, F, fringe, mbuf, nfrbuf)
         if rc == 1:
