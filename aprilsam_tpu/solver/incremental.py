@@ -1079,6 +1079,68 @@ class IncrementalSolver:
         )
         self.cfg = cfg
 
+    def _maybe_grow_capacity(self, g: FactorGraph) -> None:
+        """Double node/factor capacities before the incoming step could
+        overflow them — the TPU-native counterpart of the reference's
+        reallocs (aprilsam.c:411-450).  A growth is a full device-state
+        rebuild (new static shapes => the step executables recompile at the
+        new capacity), so it happens once per doubling, not per step."""
+        import dataclasses
+
+        cfg = self.cfg
+        need_nodes = g.nnodes + KNODE + 1
+        n_xyt = int(np.sum(g.ftype[: g.nfactors] == FACTOR_XYT))
+        n_pos = g.nfactors - n_xyt
+        FPOS = max(256, cfg.factor_capacity // 8)
+        need_f = n_xyt + cfg.new_factor_capacity + 1
+        need_p = n_pos + cfg.new_factor_capacity + 1
+        if (need_nodes <= cfg.node_capacity and need_f <= cfg.factor_capacity
+                and need_p <= FPOS):
+            return
+
+        ncap = cfg.node_capacity
+        while need_nodes > ncap:
+            ncap *= 2
+        fcap = cfg.factor_capacity
+        while need_f > fcap or need_p > max(256, fcap // 8):
+            fcap *= 2
+
+        # everything queued must land in the old-shape state first
+        self._dispatch_queue()
+        old = jax.device_get(self.ds)
+        old_ncap = cfg.node_capacity
+        new_cfg = dataclasses.replace(
+            cfg, node_capacity=ncap, factor_capacity=fcap)
+        self.cfg = new_cfg
+        ds2 = init_device_state(new_cfg)
+        h = {}
+        for name in DeviceState._fields:
+            dst = np.asarray(jax.device_get(getattr(ds2, name)))
+            src = np.asarray(getattr(old, name))
+            if dst.ndim == 0:
+                h[name] = src
+                continue
+            dst = dst.copy()
+            sl = tuple(slice(0, s) for s in src.shape)
+            dst[sl] = src
+            h[name] = dst
+        # old-sentinel rewrite: pattern padding used the OLD capacity
+        h["R_idx"][h["R_idx"] >= old_ncap] = ncap
+        # identity position map beyond the old capacity
+        h["pos"][old_ncap:] = np.arange(old_ncap, ncap, dtype=np.int32)
+        h["order"][old_ncap:] = np.arange(old_ncap, ncap, dtype=np.int32)
+        self.ds = DeviceState(**{
+            name: jnp.asarray(h[name]) for name in DeviceState._fields})
+
+        # rebuild the native planner mirror at the new capacity (sentinels
+        # and array sizes are capacity-dependent)
+        sym = self.sym
+        if sym is not None and getattr(sym, "pad_idx", None) is not None:
+            sym.patterns = sym_patterns_list(sym)
+            sym.patterns_stale = False
+            sym.pad_idx = None
+            sym.pad_nnz = None
+
     def _use_host_batch(self) -> bool:
         if self.cfg.batch_backend == "host":
             return True
@@ -1134,6 +1196,7 @@ class IncrementalSolver:
         """Full batch solve (april_graph_cholesky)."""
         if g.nnodes == 0 or g.nfactors == 0:
             return BatchInfo(chi2=0.0, spd=True, n=0)
+        self._maybe_grow_capacity(g)
         self._ingest(g)
         info = self._run_batch(g)
         self.steps_done += 1
@@ -1212,6 +1275,7 @@ class IncrementalSolver:
             # guards (aprilsam.c:380-385); reflect any queued steps first
             self._dispatch_queue()
             return BatchInfo(chi2=float(state_chi2(self.ds)), spd=True, n=0)
+        self._maybe_grow_capacity(g)
 
         if self.tp is not None:
             self.tp.reset()

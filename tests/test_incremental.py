@@ -502,3 +502,56 @@ def test_deferred_wallclock_gate_fires():
 
     assert replay(gate=True) > 1      # gate fired in deferred mode
     assert replay(gate=False) == 1    # and only because of the gate
+
+
+def test_node_capacity_growth_matches_big_capacity():
+    """A replay that outgrows node_capacity doubles the device state in
+    place (aprilsam.c:411-450 realloc analogue) and must produce the same
+    trajectory as a solver that was big enough from the start."""
+    n = 90
+    g = chain_graph(n, y_noise=0.05, seed=11)
+    for (a, b) in [(3, 40), (10, 70), (20, 85)]:
+        z = np_xyt_inv_mul(g.init[a], g.init[b]) + np.array([0.05, -0.03, 0.01])
+        g.add_factor_xyt(a, b, z, W_ODO)
+
+    def replay(ncap, fcap):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg(nthreshold=10**9),
+            node_capacity=ncap, factor_capacity=fcap,
+            bundle_size=4, policy_lag=4)
+        s = IncrementalSolver(cfg)
+        from aprilsam_tpu.graph import FactorGraph
+        from aprilsam_tpu.solver.incremental import SeedSpec
+
+        live = FactorGraph()
+        by_max = [[] for _ in range(n)]
+        for f in range(g.nfactors):
+            a, b = g.fnodes[f]
+            by_max[int(max(a, b))].append(f)
+        for k in range(n):
+            live.add_node(g.init[k], init=g.init[k])
+            seeds = []
+            for f in by_max[k]:
+                a, b = (int(v) for v in g.fnodes[f])
+                if b >= 0:
+                    if abs(a - b) == 1:
+                        if a < b:
+                            seeds.append(SeedSpec(a, b, g.fz[f], False))
+                        else:
+                            seeds.append(SeedSpec(b, a, g.fz[f], True))
+                    live.add_factor_xyt(a, b, g.fz[f], g.fW[f])
+                else:
+                    live.add_factor_xytpos(a, g.fz[f], g.fW[f])
+            if k == 0:
+                s.solve(live)
+            else:
+                s.update(live, seeds=seeds)
+        s.flush(live)
+        return np.asarray(s.ds.state[:n]), s.cfg.node_capacity
+
+    st_small, grown_ncap = replay(ncap=32, fcap=64)
+    st_big, big_ncap = replay(ncap=512, fcap=2048)
+    assert grown_ncap >= n + 1, "capacity never grew"
+    np.testing.assert_allclose(st_small, st_big, atol=1e-9)
