@@ -188,18 +188,42 @@ def run_batch_epoch(
     ftypes: np.ndarray,
     fnodes: np.ndarray,
     log_mode: int = 0,
+    lazy: bool = False,
 ) -> Tuple[DeviceState, SymbolicState, BatchInfo]:
     """Full batch epoch: host symbolic phase + device numeric step.
 
     `ftypes`/`fnodes` are the host factor table (all valid factors), used only
-    for symbolic structure.
+    for symbolic structure.  With `lazy`, the returned BatchInfo carries
+    DEVICE scalars for chi2/spd instead of synced floats — the whole epoch
+    is then one more async dispatch and the pipeline never stalls on it
+    (the caller's policy readbacks materialize the values later).
     """
     NCAP = cfg.node_capacity
     BCAP = cfg.row_block_capacity
 
-    adj = sym_mod.build_adjacency(nnodes, ftypes, fnodes)
-    order = sym_mod.min_degree_ordering(nnodes, adj)
-    sym = sym_mod.build_symbolic(nnodes, adj, order)
+    from .. import native
+
+    if native.available():
+        # native C symbolic phase (the python ordering costs ~seconds at
+        # 3500 nodes; the C one ~10 ms) — numeric stays on device
+        from .host_batch import _adjacency_csr
+
+        adj_ptr, adj_idx = _adjacency_csr(nnodes, ftypes, fnodes)
+        order = native.order_md(nnodes, adj_ptr, adj_idx)
+        patterns, nnz, parents, _mx = native.symbolic(
+            nnodes, adj_ptr, adj_idx, order, BCAP)
+        pos = np.empty(nnodes, dtype=np.int32)
+        pos[order] = np.arange(nnodes, dtype=np.int32)
+        sym = SymbolicState(
+            order=order, pos=pos,
+            patterns=[patterns[p, : nnz[p]].copy() for p in range(nnodes)],
+            parents=parents.copy(),
+        )
+        sym.rebuild_children()
+    else:
+        adj = sym_mod.build_adjacency(nnodes, ftypes, fnodes)
+        order = sym_mod.min_degree_ordering(nnodes, adj)
+        sym = sym_mod.build_symbolic(nnodes, adj, order)
 
     R_idx_np, R_nnz_np = sym_mod.padded_pattern_arrays(sym, NCAP, BCAP, NCAP)
 
@@ -216,7 +240,11 @@ def run_batch_epoch(
     else:
         ext_p = ext_slot = ext_c = np.zeros(0, dtype=np.int32)
     K = ext_p.shape[0]
-    KEXT = _ext_bucket(K)
+    # KEXT rides with the node bucket (mean R-row nnz is ~6.5 on SLAM
+    # graphs, so 8*MB covers it) — one (MB, KEXT) specialization per node
+    # doubling keeps the compile ladder predictable/precompilable
+    MB_for_K = node_bucket(nnodes, NCAP)
+    KEXT = max(_ext_bucket(K), 8 * MB_for_K)
     pad = KEXT - K
     ext_p = np.pad(ext_p, (0, pad))
     ext_slot = np.pad(ext_slot, (0, pad))
@@ -247,7 +275,43 @@ def run_batch_epoch(
         KEXT=KEXT,
         gn_iters=cfg.effective_gn_iters,
     )
+    if lazy:
+        return ds, sym, BatchInfo(chi2=chi2, spd=spd, n=nnodes)
     return ds, sym, BatchInfo(chi2=float(chi2), spd=bool(spd), n=nnodes)
+
+
+def precompile_device_batch(ds: DeviceState, cfg: SolverConfig,
+                            nnodes_max: int) -> Tuple[DeviceState, int]:
+    """Compile the (MB, KEXT) device-epoch ladder a replay of nnodes_max
+    poses crosses, with dead inputs on a throwaway state (mid-run compiles
+    through the relay's compile server cost 10-25 s each)."""
+    NCAP = cfg.node_capacity
+    BCAP = cfg.row_block_capacity
+    count = 0
+    mb = 256
+    while True:
+        mb = min(mb, NCAP)
+        MB = mb
+        KEXT = 8 * MB
+        ds, _, _ = _batch_step(
+            ds,
+            jnp.arange(NCAP, dtype=jnp.int32),
+            jnp.arange(NCAP, dtype=jnp.int32),
+            jnp.full((NCAP, BCAP), NCAP, dtype=jnp.int32),
+            jnp.zeros(NCAP, dtype=jnp.int32),
+            jnp.zeros(KEXT, dtype=jnp.int32),
+            jnp.zeros(KEXT, dtype=jnp.int32),
+            jnp.zeros(KEXT, dtype=jnp.int32),
+            jnp.zeros(KEXT, dtype=bool),
+            jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
+            jnp.int32(2),
+            MB=MB, KEXT=KEXT, gn_iters=cfg.effective_gn_iters,
+        )
+        count += 1
+        if mb >= min(node_bucket(nnodes_max, NCAP), NCAP):
+            break
+        mb *= 2
+    return ds, count
 
 
 class BatchSolver:

@@ -62,7 +62,18 @@ class SolverConfig:
     mixed_bundles: bool = True
     # Pattern-row columns packed per affected row in bundle uploads (rows
     # are padded back to row_block_capacity with sentinels on device).
-    ridx_pack_capacity: int = 48
+    # None = row_block_capacity: every plan fits the mixed layout.  The
+    # round-3 replay showed mid-epoch incremental fill grows rows well past
+    # the fresh-epoch max (48 on M3500), and each plan that misses the
+    # packed width falls back to a legacy signature whose first dispatch
+    # costs a 10-25 s compile — narrower packing is not worth that.
+    ridx_pack_capacity: int = None
+
+    @property
+    def effective_ridx_pack(self) -> int:
+        if self.ridx_pack_capacity is None:
+            return self.row_block_capacity
+        return self.ridx_pack_capacity
 
     # --- numerics ---
     dtype: np.dtype = np.float64   # float32 on TPU for speed, float64 for parity tests

@@ -1169,7 +1169,8 @@ class IncrementalSolver:
                     self.ds, self.sym, info = run_batch_epoch(
                         self.ds, self.cfg, g.nnodes,
                         g.ftype[: g.nfactors], g.fnodes[: g.nfactors],
-                        log_mode=log_mode)
+                        log_mode=log_mode,
+                        lazy=self.cfg.policy_lag > 0)
                 break
             except OverflowError:
                 self._grow_row_capacity()
@@ -1414,9 +1415,9 @@ class IncrementalSolver:
         cfg = self.cfg
         if not cfg.mixed_bundles:
             return None
-        if plan.max_rnnz > cfg.ridx_pack_capacity:
+        if plan.max_rnnz > cfg.effective_ridx_pack:
             return None
-        if cfg.ridx_pack_capacity > cfg.row_block_capacity:
+        if cfg.effective_ridx_pack > cfg.row_block_capacity:
             return None
         if fast:
             return 0 if (plan.MAXAFF <= 16 and plan.MAXFR == MIXED_FR) \
@@ -1432,7 +1433,7 @@ class IncrementalSolver:
         """A no-op mixed slot: fast@16 with m = 0 (live=False everywhere)."""
         K = self.cfg.new_factor_capacity
         BCAP = self.cfg.row_block_capacity
-        RCAP = self.cfg.ridx_pack_capacity
+        RCAP = self.cfg.effective_ridx_pack
         LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP)
         row = np.zeros(LEN, dtype=np.int32)
         seg, _ = packed_layout(16, MIXED_FR, K, BCAP,
@@ -1445,7 +1446,7 @@ class IncrementalSolver:
         executable, padding dead slots to the full bundle width."""
         K = self.cfg.new_factor_capacity
         BCAP = self.cfg.row_block_capacity
-        RCAP = self.cfg.ridx_pack_capacity
+        RCAP = self.cfg.effective_ridx_pack
         B = max(1, self.cfg.bundle_size)
         LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP)
         rows = np.zeros((B, LEN), dtype=np.int32)

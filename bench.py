@@ -73,6 +73,19 @@ def _p(phase: str, **kw) -> None:
 
 def worker() -> int:
     _p("start")
+    # Heartbeat: long compile phases (the mixed-bundle executables take
+    # minutes each through the relay's remote compile server) emit no
+    # natural output; a background ticker keeps the orchestrator's
+    # activity clock alive so only a true hang trips its deadlines.
+    def _beat():
+        n = 0
+        while True:
+            time.sleep(120.0)
+            n += 1
+            _p("heartbeat", n=n)
+
+    threading.Thread(target=_beat, daemon=True).start()
+
     import numpy as np
     import jax
 
@@ -122,6 +135,12 @@ def worker() -> int:
         log_chi2=False,         # the C demo times only the solver call
                                 # (aprilsam_demo.c:101-115); chi2 is computed
                                 # off the clock, here once at the end
+        # On TPU, batch epochs run fully on device (dense bucketed epoch +
+        # native C symbolic phase, dispatched lazily): the host-C backend's
+        # per-epoch d2h states fetch + compact R upload stalls the pipeline
+        # ~0.3-1 s x ~30 epochs.  CPU keeps the host backend (exact
+        # float64 reference semantics).
+        batch_backend="auto" if use_x64 else "device",
     )
 
     # warmup: run a short prefix (compiles the batch path), then drive every
@@ -134,14 +153,21 @@ def worker() -> int:
     for i, sig in enumerate(sigs):
         warm.solver.precompile(signatures=(sig,))
         _p("precompile", i=i + 1, n=len(sigs), sig=list(map(str, sig)))
-    # batch-epoch expand kernels: compile every (NC, MAXZ, log_mode)
-    # specialization on a throwaway state (the kernel overwrites solver
-    # state, so it cannot run on a live solver)
-    from aprilsam_tpu.solver.host_batch import precompile_expand
+    # batch-epoch kernels: compile every specialization the replay can hit
+    # on a throwaway state (these kernels overwrite solver state, so they
+    # cannot run on a live solver)
     from aprilsam_tpu.solver.state import init_device_state
 
-    _, nexp = precompile_expand(init_device_state(cfg), cfg, loaded.nnodes,
-                                log_modes=(0, 2))
+    if cfg.batch_backend == "device":
+        from aprilsam_tpu.solver.batch import precompile_device_batch
+
+        _, nexp = precompile_device_batch(
+            init_device_state(cfg), cfg, loaded.nnodes)
+    else:
+        from aprilsam_tpu.solver.host_batch import precompile_expand
+
+        _, nexp = precompile_expand(init_device_state(cfg), cfg,
+                                    loaded.nnodes, log_modes=(0, 2))
     _p("precompile_expand", n=nexp)
     del warm
 

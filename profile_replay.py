@@ -89,6 +89,7 @@ def main():
         out = orig_do(plan, sig)
         T["dispatch_one"] += time.perf_counter() - t0
         C["singles"] += 1
+        C[f"single_{'_'.join(map(str, sig))}"] += 1
         return out
 
     def timed_rb(g, **kw):
@@ -112,13 +113,18 @@ def main():
     t0 = time.perf_counter()
     n = 0
     seg0 = t0
+    prev = t0
     while True:
         res = rep.step()
         if res is None:
             break
         n += 1
+        now = time.perf_counter()
+        if now - prev > 1.0:
+            print(f"OUTLIER step {n}: {(now - prev):.2f}s "
+                  f"path={s.last_path} naff={s.last_naffected}", flush=True)
+        prev = now
         if n % 500 == 0:
-            now = time.perf_counter()
             print(f"steps {n}: seg {(now - seg0) / 500 * 1e3:6.2f} ms/step",
                   flush=True)
             seg0 = now
