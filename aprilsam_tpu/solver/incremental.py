@@ -73,6 +73,12 @@ INT_MAX = np.iinfo(np.int32).max
 KNODE = 4   # max new nodes per step
 KSEED = 4   # max odometry seedings per step
 
+# Mixed-bundle branch layout (see "mixed bundles" section below): affected-set
+# buckets sharing one executable, and THE single static fringe width — every
+# fast plan is packed at MIXED_FR so fast and full slots share one layout.
+MIXED_BUCKETS = (16, 64, 256)
+MIXED_FR = 32
+
 
 @dataclass
 class SeedSpec:
@@ -334,11 +340,17 @@ def plan_step(
         F = F[:m]
         MAXAFF = _bucket(m, cfg.frontal_buckets)
         nfr = int(nfrbuf[0])
-        MAXFR = _bucket(nfr, (32, 128))
+        # Single 32-wide fringe bucket: a fast step whose fringe exceeds it
+        # takes the full path instead (exact, un-pruned solve — strictly more
+        # accurate than the reference's pruned descent, and it keeps MAXFR a
+        # single static value so every fast plan fits the mixed-bundle
+        # layout; a second MAXFR axis would add lazily-compiled executables,
+        # each a 10-25 s mid-run relay compile).  Never observed on M3500.
+        MAXFR = _bucket(nfr, (MIXED_FR,))
         fringe_overflow = MAXFR is None
         if fringe_overflow:
             fringe = fringe[:0]
-            MAXFR = 32
+            MAXFR = MIXED_FR
         else:
             fringe = fringe[:nfr]
         new_rows = sym.pad_idx[F]
@@ -373,21 +385,22 @@ def plan_step(
 
         new_rows, new_nnz = _padded_rows(sym.patterns, F, BCAP, NCAP)
 
-        # 4. fringe (children of F outside F, NEW tree)
+        # 4. fringe (children of F outside F, NEW tree); single 32-wide
+        # bucket — overflow takes the full path (see the native branch above)
         fringe = sym_mod.fringe_of(sym, F)
-        MAXFR = _bucket(len(fringe), (32, 128))
+        MAXFR = _bucket(len(fringe), (MIXED_FR,))
         fringe_overflow = MAXFR is None
         if fringe_overflow:
             fringe = fringe[:0]
-            MAXFR = 32
+            MAXFR = MIXED_FR
 
     # Full-path steps never read the fringe (the panel sweep updates every
-    # node), so pack them at the canonical MAXFR=32 layout with an empty
+    # node), so pack them at the canonical MIXED_FR layout with an empty
     # fringe — this is what lets fast and full slots share one mixed-bundle
     # executable regardless of the actual fringe size.
     if naffected > cfg.small_path_max or fringe_overflow:
         fringe = fringe[:0]
-        MAXFR = 32
+        MAXFR = MIXED_FR
 
     # 5. pack
     off_i, len_i = ints_layout(MAXAFF, MAXFR, K)
@@ -935,9 +948,8 @@ def inc_bundle_full(ds: DeviceState, packed_b,
 # and the remaining words are that branch's own packed layout (a prefix of
 # the slot).  lax.switch on TPU lowers to a real conditional, so a fast
 # slot never pays the panel sweep.
-
-MIXED_BUCKETS = (16, 64, 256)
-MIXED_FR = 32
+# (MIXED_BUCKETS / MIXED_FR are defined at the top of the module: plan_step
+# packs every plan at the MIXED_FR fringe width.)
 
 
 def mixed_slot_len(K: int, BCAP: int, dtype, RCAP: int) -> int:
@@ -1550,10 +1562,10 @@ class IncrementalSolver:
         more than the entire optimized replay — the r01->r02 TPU bench was
         dominated by exactly these compiles.  All entries persist in the
         on-disk compilation cache, so warmup is cheap after the first run on
-        a machine.  Signatures cover the common MAXFR=32 fringe bucket; a
-        step whose fringe exceeds 32 hits the MAXFR=128 axis, which compiles
-        lazily (rare: never observed on M3500)."""
-        fr = 32
+        a machine.  MIXED_FR is the ONLY fringe layout (plan_step demotes
+        larger-fringe fast steps to the full path), so this list covers every
+        shape a replay can dispatch."""
+        fr = MIXED_FR
         npanb_max = self._npanb(nnodes if nnodes
                                 else self.cfg.node_capacity)
         npanbs = []

@@ -28,12 +28,17 @@ def main():
     from aprilsam_tpu.solver import SolverConfig
     from aprilsam_tpu.solver import incremental as I
 
+    # surface any mid-run compile (each costs 10-25 s through the relay's
+    # remote compile server) in the log
+    jax.config.update("jax_log_compiles", True)
+
     loaded = load_g2o_text("/root/reference/data/M3500.txt")
     cfg = SolverConfig(
         dtype=np.float64 if platform == "cpu" else np.float32,
         node_capacity=4096, factor_capacity=8192, row_block_capacity=96,
         panel_nodes=128, wallclock_gate=False, policy_lag=16,
         bundle_size=32, policy_poll=64, log_chi2=False,
+        batch_backend="auto" if platform == "cpu" else "device",
     )
     if platform == "cpu":
         jax.config.update("jax_enable_x64", True)
@@ -55,6 +60,19 @@ def main():
     warm = Replay(loaded, cfg, batch_update_only=False, deferred=True)
     warm.run(max_steps=60)
     warm.solver.precompile(nnodes=loaded.nnodes)
+    # mirror bench.py's batch-epoch kernel warmup exactly
+    from aprilsam_tpu.solver.state import init_device_state
+
+    if cfg.batch_backend == "device":
+        from aprilsam_tpu.solver.batch import precompile_device_batch
+
+        precompile_device_batch(init_device_state(cfg), cfg, loaded.nnodes)
+    else:
+        from aprilsam_tpu.solver.host_batch import precompile_expand
+
+        precompile_expand(init_device_state(cfg), cfg, loaded.nnodes,
+                          log_modes=(0, 2))
+    print("warmup done", flush=True)
     del warm
     for k in list(T):
         del T[k]
