@@ -165,8 +165,15 @@ def floats_layout(K: int):
     return off, o
 
 
+def half_ridx(NCAP: int, RCAP: int) -> bool:
+    """Whether ridx rides as packed int16 pairs: pattern positions (and the
+    NCAP sentinel) must fit int16 and RCAP must pair up evenly.  Derived
+    identically on host (pack) and device (unpack) from static shapes."""
+    return NCAP <= 32766 and RCAP % 2 == 0
+
+
 def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype,
-                  RCAP: Optional[int] = None):
+                  RCAP: Optional[int] = None, half: bool = False):
     """Static segment offsets of the single packed int32 plan vector.
 
     Every per-step input (control ints, measurement floats as raw bits, the
@@ -178,14 +185,16 @@ def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype,
     RCAP < BCAP packs only the first RCAP pattern columns per affected row
     (the kernel pads back to BCAP with sentinels); plans whose rows carry
     more nonzeros are ineligible and dispatch through the full-width
-    layout."""
+    layout.  `half` packs ridx as int16 pairs (two positions per int32
+    word): ridx is ~94% of the slot, so this halves the bundle h2d payload
+    whenever node_capacity fits int16."""
     if RCAP is None:
         RCAP = BCAP
     _, LI = ints_layout(MAXAFF, MAXFR, K)
     _, LF = floats_layout(K)
     words = 2 if np.dtype(dtype) == np.float64 else 1
     LFW = LF * words
-    LM = MAXAFF * RCAP
+    LM = MAXAFF * (RCAP // 2 if half else RCAP)
     seg = {
         "ints": (0, LI),
         "floats": (LI, LI + LFW),
@@ -194,22 +203,28 @@ def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype,
     return seg, LI + LFW + LM
 
 
-def pack_plan(plan: "StepPlan", dtype,
-              RCAP: Optional[int] = None) -> np.ndarray:
+def pack_plan(plan: "StepPlan", dtype, RCAP: Optional[int] = None,
+              half: bool = False) -> np.ndarray:
     """Serialize a StepPlan into the packed int32 vector (float payload as
     raw bits via .view, exact for both float32 and float64 modes)."""
     fbits = np.ascontiguousarray(
         plan.floats.astype(np.dtype(dtype))).view(np.int32)
     ridx = plan.ridx if RCAP is None else plan.ridx[:, :RCAP]
-    return np.concatenate([plan.ints, fbits, np.ascontiguousarray(ridx).ravel()])
+    ridx = np.ascontiguousarray(ridx)
+    if half:
+        # little-endian pair packing; mirrors the device-side bitcast
+        # (int32 -> [2]int16 indexes the low half first), same convention
+        # the float64 payload packing already relies on
+        ridx = ridx.astype(np.int16).reshape(-1).view(np.int32)
+    return np.concatenate([plan.ints, fbits, ridx.ravel()])
 
 
 def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype,
-                 RCAP: Optional[int] = None):
+                 RCAP: Optional[int] = None, half: bool = False):
     if RCAP is None:
         RCAP = BCAP
     _, LF = floats_layout(K)
-    seg, L = packed_layout(MAXAFF, MAXFR, K, BCAP, dtype, RCAP)
+    seg, L = packed_layout(MAXAFF, MAXFR, K, BCAP, dtype, RCAP, half)
     ints = packed[seg["ints"][0]:seg["ints"][1]]
     fw = packed[seg["floats"][0]:seg["floats"][1]]
     if np.dtype(dtype) == np.float64:
@@ -217,7 +232,12 @@ def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype,
             fw.reshape(LF, 2), jnp.float64)
     else:
         floats = jax.lax.bitcast_convert_type(fw, jnp.float32)
-    ridx = packed[seg["ridx"][0]:seg["ridx"][1]].reshape(MAXAFF, RCAP)
+    rw = packed[seg["ridx"][0]:seg["ridx"][1]]
+    if half:
+        ridx = jax.lax.bitcast_convert_type(rw, jnp.int16).astype(
+            jnp.int32).reshape(MAXAFF, RCAP)
+    else:
+        ridx = rw.reshape(MAXAFF, RCAP)
     return ints, floats, ridx
 
 
@@ -707,7 +727,7 @@ def _finish(ds: DeviceState, chi2, start_over, spd, live, log_chi2: bool):
 def _fast_body(ds: DeviceState, packed,
                MAXAFF: int, MAXFR: int, KNEW: int,
                delta_xy: float, delta_theta: float, log_chi2: bool,
-               RCAP: Optional[int] = None):
+               RCAP: Optional[int] = None, half: bool = False):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
@@ -715,7 +735,7 @@ def _fast_body(ds: DeviceState, packed,
     off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
     off_f, _ = floats_layout(KNEW)
     ints, floats, ridx = _unpack_plan(
-        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP)
+        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP, half)
     if ridx.shape[1] < BCAP:
         ridx = jnp.pad(ridx, ((0, 0), (0, BCAP - ridx.shape[1])),
                        constant_values=NCAP)
@@ -824,14 +844,14 @@ def inc_bundle_fast(ds: DeviceState, packed_b,
 def _full_body(ds: DeviceState, packed,
                MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, NPANB: int,
                delta_xy: float, delta_theta: float, log_chi2: bool,
-               RCAP: Optional[int] = None):
+               RCAP: Optional[int] = None, half: bool = False):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
     off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
     off_f, _ = floats_layout(KNEW)
     ints, floats, ridx = _unpack_plan(
-        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP)
+        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP, half)
     if ridx.shape[1] < BCAP:
         ridx = jnp.pad(ridx, ((0, 0), (0, BCAP - ridx.shape[1])),
                        constant_values=NCAP)
@@ -952,10 +972,11 @@ def inc_bundle_full(ds: DeviceState, packed_b,
 # packs every plan at the MIXED_FR fringe width.)
 
 
-def mixed_slot_len(K: int, BCAP: int, dtype, RCAP: int) -> int:
+def mixed_slot_len(K: int, BCAP: int, dtype, RCAP: int,
+                   half: bool = False) -> int:
     lmax = 0
     for M in MIXED_BUCKETS:
-        _, L = packed_layout(M, MIXED_FR, K, BCAP, dtype, RCAP)
+        _, L = packed_layout(M, MIXED_FR, K, BCAP, dtype, RCAP, half)
         lmax = max(lmax, L)
     return 1 + lmax
 
@@ -963,22 +984,24 @@ def mixed_slot_len(K: int, BCAP: int, dtype, RCAP: int) -> int:
 def _mixed_slot_body(ds: DeviceState, packed,
                      KNEW: int, PANEL: int, NPANB: int, RCAP: int,
                      delta_xy: float, delta_theta: float, log_chi2: bool):
+    NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
+    half = half_ridx(NCAP, RCAP)   # static; must mirror the host-side pack
     sel = packed[0]
 
     def fast16(ds):
-        _, L = packed_layout(16, MIXED_FR, KNEW, BCAP, dtype, RCAP)
+        _, L = packed_layout(16, MIXED_FR, KNEW, BCAP, dtype, RCAP, half)
         return _fast_body(ds, jax.lax.slice(packed, (1,), (1 + L,)),
                           16, MIXED_FR, KNEW,
-                          delta_xy, delta_theta, log_chi2, RCAP)
+                          delta_xy, delta_theta, log_chi2, RCAP, half)
 
     def full(M):
         def f(ds):
-            _, L = packed_layout(M, MIXED_FR, KNEW, BCAP, dtype, RCAP)
+            _, L = packed_layout(M, MIXED_FR, KNEW, BCAP, dtype, RCAP, half)
             return _full_body(ds, jax.lax.slice(packed, (1,), (1 + L,)),
                               M, MIXED_FR, KNEW, PANEL, NPANB,
-                              delta_xy, delta_theta, log_chi2, RCAP)
+                              delta_xy, delta_theta, log_chi2, RCAP, half)
         return f
 
     return jax.lax.switch(
@@ -1268,8 +1291,22 @@ class IncrementalSolver:
             self._run_batch(g, record_time=True, log_mode=mode)
             return
         if block_all or self._due_since_poll >= self.cfg.policy_poll:
+            # Prefer an entry whose stats array is ALREADY materializable:
+            # np.asarray on a not-yet-computed device array stalls the host
+            # for the whole dispatched backlog (the relay pipeline is
+            # in-order), turning every poll into a bubble.  Counters are
+            # cumulative, so reading any fresh entry is exact — only the
+            # decision lag changes, and the hard bound below caps it at
+            # 4x policy_poll due steps before we block anyway.
+            ready = [p for p in fresh if p.stats.is_ready()]
+            hard = self._due_since_poll >= 4 * self.cfg.policy_poll
+            if block_all or hard:
+                p = (ready or fresh)[-1]
+            elif ready:
+                p = ready[-1]
+            else:
+                return  # nothing ready; keep accumulating, retry next poll
             self._due_since_poll = 0
-            p = fresh[-1]
             stats = np.asarray(p.stats)
             if p.row >= 0:
                 stats = stats[p.row]
@@ -1441,16 +1478,24 @@ class IncrementalSolver:
         except ValueError:
             return None
 
+    @property
+    def _half_ridx(self) -> bool:
+        return half_ridx(self.cfg.node_capacity, self.cfg.effective_ridx_pack)
+
     def _dead_mixed_row(self) -> np.ndarray:
         """A no-op mixed slot: fast@16 with m = 0 (live=False everywhere)."""
         K = self.cfg.new_factor_capacity
         BCAP = self.cfg.row_block_capacity
         RCAP = self.cfg.effective_ridx_pack
-        LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP)
+        half = self._half_ridx
+        LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP, half)
         row = np.zeros(LEN, dtype=np.int32)
         seg, _ = packed_layout(16, MIXED_FR, K, BCAP,
-                               self._device_dtype, RCAP)
-        row[1 + seg["ridx"][0]: 1 + seg["ridx"][1]] = self.cfg.node_capacity
+                               self._device_dtype, RCAP, half)
+        sent = self.cfg.node_capacity
+        if half:
+            sent = np.array([sent, sent], dtype=np.int16).view(np.int32)[0]
+        row[1 + seg["ridx"][0]: 1 + seg["ridx"][1]] = sent
         return row
 
     def _dispatch_mixed(self, entries, npanb: int):
@@ -1459,11 +1504,12 @@ class IncrementalSolver:
         K = self.cfg.new_factor_capacity
         BCAP = self.cfg.row_block_capacity
         RCAP = self.cfg.effective_ridx_pack
+        half = self._half_ridx
         B = max(1, self.cfg.bundle_size)
-        LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP)
+        LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP, half)
         rows = np.zeros((B, LEN), dtype=np.int32)
         for i, (plan, sel) in enumerate(entries):
-            body = pack_plan(plan, self._device_dtype, RCAP)
+            body = pack_plan(plan, self._device_dtype, RCAP, half)
             rows[i, 0] = sel
             rows[i, 1: 1 + body.shape[0]] = body
         if len(entries) < B:
