@@ -811,6 +811,83 @@ def _fast_body(ds: DeviceState, packed,
     return _finish(ds, chi2, start_over, spd, live, log_chi2)
 
 
+@partial(jax.jit, static_argnames=("KNEW",), donate_argnames=("ds",))
+def inc_ingest_tail(ds: DeviceState, packed, KNEW: int):
+    """Ingestion-only step: new nodes + odometry seeding + factor-table
+    appends, no frontal work.  Serves the plan-overflow batch-fallback path
+    (aprilsam.c's full-batch branch), which previously ran these appends as
+    eager ops — through the relay each eager op's first compile costs
+    ~0.4 s, and reading the table counts stalled the pipeline.  Layout: the
+    MAXAFF=0/MAXFR=0 prefix of the standard packed plan."""
+    NCAP = ds.state.shape[0]
+    FCAP = ds.xyt_a.shape[0]
+    FPOS = ds.pos_node.shape[0]
+    dtype = ds.R_blocks.dtype
+    off_i, LI = ints_layout(0, 0, KNEW)
+    _, LF = floats_layout(KNEW)
+    ints = packed[:LI]
+    fw = packed[LI:]
+    if np.dtype(dtype) == np.float64:
+        floats = jax.lax.bitcast_convert_type(
+            fw.reshape(LF, 2), jnp.float64)
+    else:
+        floats = jax.lax.bitcast_convert_type(fw, jnp.float32)
+
+    sc = _unpack(ints, off_i, "scalars")
+    n_new_xyt, n_new_pos, n_nodes, n_seeds = sc[1], sc[2], sc[4], sc[5]
+
+    node_ids = _unpack(ints, off_i, "node_ids")
+    node_states = _unpack(floats, floats_layout(KNEW)[0], "node_states",
+                          (KNODE, 3)).astype(dtype)
+    off_f = floats_layout(KNEW)[0]
+    nv = jnp.arange(KNODE, dtype=jnp.int32) < n_nodes
+    dst_nodes = jnp.where(nv, node_ids, NCAP)
+    state = ds.state.at[dst_nodes].set(node_states, mode="drop")
+    l_point = ds.l_point.at[dst_nodes].set(node_states, mode="drop")
+    delta_X = ds.delta_X.at[dst_nodes].set(0.0, mode="drop")
+
+    seed_src = _unpack(ints, off_i, "seed_src")
+    seed_dst = _unpack(ints, off_i, "seed_dst")
+    seed_inv = _unpack(ints, off_i, "seed_inv")
+    seed_z = _unpack(floats, off_f, "seed_z", (KSEED, 3)).astype(dtype)
+    sv = jnp.arange(KSEED, dtype=jnp.int32) < n_seeds
+    src_states = state[jnp.clip(seed_src, 0, NCAP - 1)]
+    z_eff = jnp.where((seed_inv > 0)[:, None],
+                      jax.vmap(xyt_inv)(seed_z), seed_z)
+    seeded = jax.vmap(xyt_mul)(src_states, z_eff)
+    sdst = jnp.where(sv, seed_dst, NCAP)
+    state = state.at[sdst].set(seeded, mode="drop")
+    l_point = l_point.at[sdst].set(seeded, mode="drop")
+
+    nf_a = _unpack(ints, off_i, "nf_a")
+    nf_b = _unpack(ints, off_i, "nf_b")
+    nf_z = _unpack(floats, off_f, "nf_z", (KNEW, 3)).astype(dtype)
+    nf_W = _unpack(floats, off_f, "nf_W", (KNEW, 3, 3)).astype(dtype)
+    np_node = _unpack(ints, off_i, "np_node")
+    np_z = _unpack(floats, off_f, "np_z", (KNEW, 3)).astype(dtype)
+    np_W = _unpack(floats, off_f, "np_W", (KNEW, 3, 3)).astype(dtype)
+
+    nf_valid = jnp.arange(KNEW, dtype=jnp.int32) < n_new_xyt
+    widx = jnp.where(nf_valid, ds.n_xyt + jnp.arange(KNEW, dtype=jnp.int32),
+                     FCAP)
+    npv = jnp.arange(KNEW, dtype=jnp.int32) < n_new_pos
+    pidx = jnp.where(npv, ds.n_pos + jnp.arange(KNEW, dtype=jnp.int32), FPOS)
+
+    return ds._replace(
+        state=state, l_point=l_point, delta_X=delta_X,
+        xyt_a=ds.xyt_a.at[widx].set(nf_a, mode="drop"),
+        xyt_b=ds.xyt_b.at[widx].set(nf_b, mode="drop"),
+        xyt_z=ds.xyt_z.at[widx].set(nf_z, mode="drop"),
+        xyt_W=ds.xyt_W.at[widx].set(nf_W, mode="drop"),
+        n_xyt=ds.n_xyt + n_new_xyt,
+        pos_node=ds.pos_node.at[pidx].set(np_node, mode="drop"),
+        pos_z=ds.pos_z.at[pidx].set(np_z, mode="drop"),
+        pos_W=ds.pos_W.at[pidx].set(np_W, mode="drop"),
+        n_pos=ds.n_pos + n_new_pos,
+        nnodes=ds.nnodes + n_nodes,
+    )
+
+
 @partial(jax.jit,
          static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta",
                           "log_chi2"),
@@ -1098,6 +1175,82 @@ class IncrementalSolver:
             l_point = l_point.at[s.dst].set(seeded)
         self.ds = self.ds._replace(state=state, l_point=l_point)
 
+    def _ingest_tail_fast(self, g: FactorGraph,
+                          seeds: Sequence[SeedSpec]) -> bool:
+        """Jitted tail ingestion + seeding for the plan-overflow batch path.
+        Returns False when the tail exceeds the per-step packing capacities
+        (caller then uses the generic eager ingest)."""
+        K = self.cfg.new_factor_capacity
+        n0, f0 = self._ingested_nodes, self._ingested_factors
+        new_ids = list(range(n0, g.nnodes))
+        by_dst = {}
+        for s in seeds:
+            by_dst[s.dst] = s
+        seeds = list(by_dst.values())
+        if (len(new_ids) > KNODE or len(seeds) > KSEED
+                or any(s.src >= n0 for s in seeds)):
+            return False
+        nf_a, nf_b, nf_z, nf_W = [], [], [], []
+        np_n, np_z, np_W = [], [], []
+        for f in range(f0, g.nfactors):
+            a, b = (int(v) for v in g.fnodes[f])
+            if g.ftype[f] == FACTOR_XYT:
+                nf_a.append(a)
+                nf_b.append(b)
+                nf_z.append(g.fz[f])
+                nf_W.append(g.fW[f])
+            else:
+                np_n.append(a)
+                np_z.append(g.fz[f])
+                np_W.append(g.fW[f])
+        if len(nf_a) > K or len(np_n) > K:
+            return False
+
+        off_i, len_i = ints_layout(0, 0, K)
+        off_f, len_f = floats_layout(K)
+        ints = np.zeros(len_i, dtype=np.int32)
+        flts = np.zeros(len_f, dtype=np.float64)
+
+        def seti(name, arr, fill=0):
+            lo, hi = off_i[name]
+            seg = np.full(hi - lo, fill, dtype=np.int32)
+            seg[: len(arr)] = arr
+            ints[lo:hi] = seg
+
+        def setf(name, arr):
+            lo, hi = off_f[name]
+            a = np.asarray(arr, dtype=np.float64).reshape(-1)
+            flts[lo: lo + a.shape[0]] = a
+
+        NCAP = self.cfg.node_capacity
+        seti("nf_a", nf_a)
+        seti("nf_b", nf_b)
+        seti("np_node", np_n)
+        seti("node_ids", new_ids, NCAP)
+        seti("seed_src", [s.src for s in seeds])
+        seti("seed_dst", [s.dst for s in seeds], NCAP)
+        seti("seed_inv", [1 if s.invert else 0 for s in seeds])
+        seti("scalars", [0, len(nf_a), len(np_n), 0, len(new_ids),
+                         len(seeds), 0, 0])
+        if nf_z:
+            setf("nf_z", nf_z)
+            setf("nf_W", nf_W)
+        if np_z:
+            setf("np_z", np_z)
+            setf("np_W", np_W)
+        if new_ids:
+            setf("node_states", g.state[new_ids])
+        if seeds:
+            setf("seed_z", [s.z for s in seeds])
+
+        fbits = np.ascontiguousarray(
+            flts.astype(self._device_dtype)).view(np.int32)
+        packed = jnp.asarray(np.concatenate([ints, fbits]))
+        self.ds = inc_ingest_tail(self.ds, packed, KNEW=K)
+        self._ingested_nodes = g.nnodes
+        self._ingested_factors = g.nfactors
+        return True
+
     def _grow_row_capacity(self):
         import dataclasses
 
@@ -1291,21 +1444,19 @@ class IncrementalSolver:
             self._run_batch(g, record_time=True, log_mode=mode)
             return
         if block_all or self._due_since_poll >= self.cfg.policy_poll:
-            # Prefer an entry whose stats array is ALREADY materializable:
-            # np.asarray on a not-yet-computed device array stalls the host
-            # for the whole dispatched backlog (the relay pipeline is
-            # in-order), turning every poll into a bubble.  Counters are
-            # cumulative, so reading any fresh entry is exact — only the
-            # decision lag changes, and the hard bound below caps it at
-            # 4x policy_poll due steps before we block anyway.
-            ready = [p for p in fresh if p.stats.is_ready()]
-            hard = self._due_since_poll >= 4 * self.cfg.policy_poll
-            if block_all or hard:
-                p = (ready or fresh)[-1]
-            elif ready:
-                p = ready[-1]
+            # Same poll cadence as a blocking drain (deferring decisions
+            # lets start_over run long past nthreshold, which grows the
+            # affected sets until steps overflow the largest frontal bucket
+            # — measured as a net regression), but pick the entry that
+            # costs the least wall-clock: the NEWEST entry whose stats are
+            # already computed (np.asarray is then free — counters are
+            # cumulative, so any fresh entry is exact), falling back to the
+            # OLDEST due entry (shortest pipeline wait) when none is ready.
+            if block_all:
+                p = fresh[-1]
             else:
-                return  # nothing ready; keep accumulating, retry next poll
+                ready = [q for q in fresh if q.stats.is_ready()]
+                p = ready[-1] if ready else fresh[0]
             self._due_since_poll = 0
             stats = np.asarray(p.stats)
             if p.row >= 0:
@@ -1343,13 +1494,15 @@ class IncrementalSolver:
         if plan is None:
             # Plan overflow -> batch fallback.  This step's new nodes/factors
             # were never ingested in-kernel: flush any queued bundle first
-            # (its in-kernel appends must land before ours), then host-ingest
-            # the tail (advances the markers) and apply odometry seeds
-            # device-side so the epoch sees the reference's seeded states
-            # (aprilsam_demo.c:180-191).
+            # (its in-kernel appends must land before ours), then ingest the
+            # tail + apply odometry seeds via the jitted ingest kernel
+            # (aprilsam_demo.c:180-191) — the eager fallback remains for
+            # oversized tails only (its first run costs a burst of ~0.4 s
+            # relay op-compiles and a pipeline-stalling table-count read).
             self._dispatch_queue()
-            self._ingest(g)
-            self._apply_seeds(seeds)
+            if not self._ingest_tail_fast(g, seeds):
+                self._ingest(g)
+                self._apply_seeds(seeds)
             self.steps_done += 1
             return self._run_batch(g, record_time=True)
 
@@ -1679,6 +1832,13 @@ class IncrementalSolver:
                 self._dispatch_queue()
             self._pending.clear()  # dead stats carry nothing
             count += 1
+        # overflow-path ingest kernel (one fixed shape; no-op payload)
+        _, LI = I.ints_layout(0, 0, K)
+        _, LF = I.floats_layout(K)
+        words = 2 if self._device_dtype == np.float64 else 1
+        self.ds = inc_ingest_tail(
+            self.ds, jnp.zeros(LI + LF * words, dtype=jnp.int32), KNEW=K)
+        count += 1
         jax.block_until_ready(self.ds.state)
         self._last_dispatch_t = None  # precompile must not skew the gate clock
         return count
