@@ -22,17 +22,36 @@ from ..factors import eval_xyt, eval_xytpos, gn_blocks_xyt
 
 
 def _scatter_block(dense, pr, pc, H):
-    """dense[3*pr+i, 3*pc+j] += H[f, i, j] for each factor f."""
-    r = 3 * pr[:, None, None] + jnp.arange(3)[None, :, None]
-    c = 3 * pc[:, None, None] + jnp.arange(3)[None, None, :]
-    r = jnp.broadcast_to(r, H.shape)
-    c = jnp.broadcast_to(c, H.shape)
-    return dense.at[r, c].add(H, mode="drop")
+    """dense[3*pr:+3, 3*pc:+3] += H[f] for each factor f.
+
+    One [3, 3]-WINDOW scatter-add per factor instead of 9 scalar updates:
+    TPU scatters serialize per index row, so collapsing 9 scalars into one
+    windowed update is ~an order of magnitude fewer serialized rows (the
+    scalar form measured ~40 ms per 4096-bucket assembly).  Out-of-range
+    windows (padded factors at position MB) are dropped whole."""
+    idx = jnp.stack([3 * pr, 3 * pc], axis=1).astype(jnp.int32)   # [F, 2]
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    return jax.lax.scatter_add(
+        dense, idx, H, dn,
+        indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
 
 def _scatter_vec(vec, pr, g):
-    r = 3 * pr[:, None] + jnp.arange(3)[None, :]
-    return vec.at[r].add(g, mode="drop")
+    idx = (3 * pr)[:, None].astype(jnp.int32)                      # [F, 1]
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    return jax.lax.scatter_add(
+        vec, idx, g, dn,
+        indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
 
 def assemble_block_dense(

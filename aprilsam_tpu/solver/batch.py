@@ -130,17 +130,29 @@ def _batch_step(
     # rows, aprilsam.c:237-249)
     cp = jnp.clip(ext_c, 0, MB - 1)
     pp = jnp.clip(ext_p, 0, MB - 1)
-    # R[p, slot] = L[3c:3c+3, 3p:3p+3]^T, gathered with scalar indices (no
-    # [MB, MB, 3, 3] transpose materialization at large buckets)
-    ri = 3 * cp[:, None, None] + jnp.arange(3)[None, :, None]
-    ci = 3 * pp[:, None, None] + jnp.arange(3)[None, None, :]
-    blocks = L[ri, ci].transpose(0, 2, 1)  # [KEXT, 3, 3]
+    # R[p, slot] = L[3c:3c+3, 3p:3p+3]^T as ONE windowed gather per pattern
+    # entry (scalar-index gathers/scatters serialize on TPU; the windowed
+    # forms measured ~5x faster at KEXT=32768)
+    gidx = jnp.stack([3 * cp, 3 * pp], axis=1)
+    gdn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    blocks = jax.lax.gather(L, gidx, gdn, slice_sizes=(3, 3))
+    blocks = blocks.transpose(0, 2, 1)     # [KEXT, 3, 3]
     blocks = jnp.where(ext_valid[:, None, None], blocks, 0.0)
-    dest_p = jnp.where(ext_valid, ext_p, NCAP - 1)
-    dest_s = jnp.where(ext_valid, ext_slot, ds.R_idx.shape[1] - 1)
-    R_blocks = jnp.zeros_like(ds.R_blocks).at[dest_p, dest_s].set(
-        blocks, mode="drop"
+    BCAPd = ds.R_idx.shape[1]
+    dest_p = jnp.where(ext_valid, ext_p, NCAP)
+    dest_s = jnp.where(ext_valid, ext_slot, BCAPd)
+    sidx = jnp.stack([dest_p, dest_s], axis=1)
+    sdn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(0, 1),
+        scatter_dims_to_operand_dims=(0, 1),
     )
+    R_blocks = jax.lax.scatter(
+        jnp.zeros_like(ds.R_blocks), sidx, blocks, sdn,
+        indices_are_sorted=True, unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
     y_full = jnp.zeros((NCAP, 3), dtype=dtype).at[:MB].set(y.reshape(MB, 3))
 
@@ -311,6 +323,10 @@ def precompile_device_batch(ds: DeviceState, cfg: SolverConfig,
         if mb >= min(node_bucket(nnodes_max, NCAP), NCAP):
             break
         mb *= 2
+    # The dead ladder epochs are real device work (a dense chol per MB);
+    # finish them INSIDE warmup — left in flight they drain into the first
+    # timed replay step (measured ~5 s at step 1)
+    jax.block_until_ready(ds.state)
     return ds, count
 
 
