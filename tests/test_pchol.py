@@ -25,8 +25,9 @@ def _rand_spd(nl, seed):
     return M @ M.T + nl * np.eye(nl)
 
 
+@pytest.mark.parametrize("mode", ["gathered", "looped"])
 @pytest.mark.parametrize("nl,block", [(96, 16), (200, 16), (513, 32)])
-def test_pchol_matches_numpy(nl, block):
+def test_pchol_matches_numpy(nl, block, mode):
     mesh = make_mesh(8)
     D = 8
     geom = pchol_geom(nl, D, block=block)
@@ -48,7 +49,8 @@ def test_pchol_matches_numpy(nl, block):
 
     solve = jax.jit(
         shard_map(
-            lambda S, cc: pchol_solve(geom, axis, S, cc, tikhonov=tikh),
+            lambda S, cc: pchol_solve(geom, axis, S, cc, tikhonov=tikh,
+                                      solve_mode=mode),
             mesh=mesh,
             in_specs=(P(axis), P()),
             out_specs=P(),
