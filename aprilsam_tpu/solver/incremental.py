@@ -938,14 +938,35 @@ def _full_body(ds: DeviceState, packed,
 
     # ---- panel back-substitution x = R^{-1} y over the ACTIVE block rows
     # (NPANB = bucketed ceil(nnodes / PANEL), a static specialization so
-    # early-trajectory steps never sweep padding panels): per panel, one
-    # sparse gather-matvec for the beyond-panel columns, a one-hot extraction
-    # of the panel's diagonal triangle (an MXU contraction — a [PANEL, BCAP]
-    # scatter serializes on TPU), and one dense triangular solve.
+    # early-trajectory steps never sweep padding panels).  The panel
+    # diagonal triangles are extracted for ALL panels in ONE one-hot MXU
+    # einsum and inverted BATCHED (pallas blocked tri-inverse on TPU,
+    # solve-vs-identity elsewhere) BEFORE the sequential sweep: the old
+    # per-panel extraction + TriangularSolve inside the scan serialized
+    # into ~4 ms per full step (measured: 32 dead full@64 slots at
+    # 4.35 ms/slot vs 0.69 ms/slot fast), an order of magnitude over the
+    # op's FLOP/HBM bound.  The scan body is now gather + matvec only.
     n = ds.nnodes
+    NP3 = 3 * PANEL
+
+    act_rows = ds.R_blocks[: NPANB * PANEL].reshape(NPANB, PANEL, BCAP, 3, 3)
+    act_idx = ds.R_idx[: NPANB * PANEL].reshape(NPANB, PANEL, BCAP)
+    p0s = (jnp.arange(NPANB, dtype=jnp.int32) * PANEL)[:, None, None]
+    loc = act_idx - p0s
+    inpan = (loc >= 0) & (loc < PANEL)
+    oh = jax.nn.one_hot(jnp.where(inpan, loc, 0), PANEL,
+                        dtype=dtype) * inpan[..., None]
+    T = jnp.einsum("npbij,npbc->npcij", act_rows, oh)
+    Td = T.transpose(0, 1, 3, 2, 4).reshape(NPANB, NP3, NP3)
+    prow_all = p0s.reshape(NPANB, 1) + jnp.arange(PANEL, dtype=jnp.int32)
+    act_scal = jnp.repeat(prow_all < n, 3, axis=1)          # [NPANB, NP3]
+    Td = Td + jnp.eye(NP3, dtype=dtype)[None] * jnp.where(
+        act_scal, 0.0, 1.0)[:, :, None]
+    from ..kernels.pallas_tri import tri_inv
+
+    Tinv = tri_inv(Td)
 
     xb = jnp.zeros((NCAP + 1, 3), dtype=dtype)
-    eye_p = jnp.eye(3 * PANEL, dtype=dtype)
 
     def panel_body(xb, j_rev):
         j = NPANB - 1 - j_rev
@@ -957,18 +978,11 @@ def _full_body(ds: DeviceState, packed,
         xg = xb[jnp.clip(idx, 0, NCAP)]
         acc = jnp.einsum("pbij,pbj->pi", rows,
                          jnp.where(beyond[..., None], xg, 0.0))
-        rhs = (yp - acc).reshape(-1)
         prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
         active = jnp.repeat(prow < n, 3)
-        # diagonal triangle of the panel
-        inpan = (idx >= p0) & (idx < p0 + PANEL)
-        oh = jax.nn.one_hot(jnp.where(inpan, idx - p0, 0), PANEL,
-                            dtype=dtype) * inpan[..., None]
-        T = jnp.einsum("pbij,pbc->pcij", rows, oh)
-        Td = T.transpose(0, 2, 1, 3).reshape(3 * PANEL, 3 * PANEL)
-        Td = Td + jnp.where(active, 0.0, 1.0) * eye_p
-        xp = jax.scipy.linalg.solve_triangular(
-            Td, jnp.where(active, rhs, 0.0), lower=False)
+        rhs = jnp.where(active, (yp - acc).reshape(-1), 0.0)
+        Ti = jax.lax.dynamic_slice_in_dim(Tinv, j, 1, 0)[0]
+        xp = Ti @ rhs
         xb = jax.lax.dynamic_update_slice_in_dim(
             xb, xp.reshape(PANEL, 3), p0, 0)
         return xb, None
