@@ -48,30 +48,94 @@ def _ext_bucket(k: int) -> int:
     return b
 
 
+def symb_half(NCAP: int) -> bool:
+    """Whether the epoch's symbolic upload packs as int16 pairs (all packed
+    values — positions, slots, nnz — are bounded by NCAP/BCAP)."""
+    return NCAP <= 32766
+
+
+def symb_layout(NCAP: int, BCAP: int, KEXT: int):
+    """Word offsets of the single packed int32 symbolic-upload vector.
+
+    One merged buffer instead of eight arrays: through the relay each h2d
+    transfer costs ~2-3 ms of latency, and int16 pair-packing halves the
+    ~2 MB/epoch payload whenever node_capacity fits int16."""
+    w = 2 if symb_half(NCAP) else 1
+    sizes = (("R_idx", NCAP * BCAP), ("R_nnz", NCAP), ("pos", NCAP),
+             ("order", NCAP), ("ext_p", KEXT), ("ext_slot", KEXT),
+             ("ext_c", KEXT))
+    off = {}
+    o = 0
+    for name, n in sizes:
+        off[name] = (o, o + n // w, n)
+        o += n // w
+    off["scalars"] = (o, o + 2, 2)   # [k_live, log_mode], always int32
+    return off, o + 2
+
+
+def pack_symb(NCAP, BCAP, KEXT, R_idx_new, R_nnz_new, pos_new, order_new,
+              ext_p, ext_slot, ext_c, k_live: int, log_mode: int) -> np.ndarray:
+    off, L = symb_layout(NCAP, BCAP, KEXT)
+    out = np.empty(L, dtype=np.int32)
+    half = symb_half(NCAP)
+
+    def put(name, arr):
+        lo, hi, _ = off[name]
+        a = np.ascontiguousarray(arr, dtype=np.int32).reshape(-1)
+        if half:
+            a = a.astype(np.int16).view(np.int32)
+        out[lo:hi] = a
+
+    put("R_idx", R_idx_new)
+    put("R_nnz", R_nnz_new)
+    put("pos", pos_new)
+    put("order", order_new)
+    put("ext_p", ext_p)
+    put("ext_slot", ext_slot)
+    put("ext_c", ext_c)
+    lo, hi, _ = off["scalars"]
+    out[lo:hi] = (k_live, log_mode)
+    return out
+
+
 @partial(jax.jit, static_argnames=("MB", "KEXT", "gn_iters"),
          donate_argnames=("ds",))
 def _batch_step(
     ds: DeviceState,
-    pos_new,        # [NCAP] int32 node id -> position (fresh ordering)
-    order_new,      # [NCAP] int32
-    R_idx_new,      # [NCAP, BCAP] int32
-    R_nnz_new,      # [NCAP] int32
-    ext_p,          # [KEXT] int32 block-row positions of pattern entries
-    ext_slot,       # [KEXT] int32 slot within the row
-    ext_c,          # [KEXT] int32 block-col positions
-    ext_valid,      # [KEXT] bool
+    symb,           # packed int32 symbolic vector (symb_layout/pack_symb)
     tikhonov,
-    log_mode,       # int32: 0 append, 1 overwrite-last (sync fallback path
-                    # replaces the inc step's entry), 2 skip (lagged fallback
-                    # between replay steps)
     MB: int,
     KEXT: int,
     gn_iters: int,
 ):
     NCAP = ds.state.shape[0]
+    BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
     FCAP = ds.xyt_a.shape[0]
     FPOS = ds.pos_node.shape[0]
+
+    off, _L = symb_layout(NCAP, BCAP, KEXT)
+    half = symb_half(NCAP)
+
+    def dec(name):
+        lo, hi, n = off[name]
+        seg = symb[lo:hi]
+        if half:
+            seg = jax.lax.bitcast_convert_type(seg, jnp.int16).astype(
+                jnp.int32).reshape(n)
+        return seg
+
+    R_idx_new = dec("R_idx").reshape(NCAP, BCAP)
+    R_nnz_new = dec("R_nnz")
+    pos_new = dec("pos")
+    order_new = dec("order")
+    ext_p = dec("ext_p")
+    ext_slot = dec("ext_slot")
+    ext_c = dec("ext_c")
+    sc_lo = off["scalars"][0]
+    k_live = symb[sc_lo]
+    log_mode = symb[sc_lo + 1]
+    ext_valid = jnp.arange(KEXT, dtype=jnp.int32) < k_live
 
     xyt_valid = jnp.arange(FCAP, dtype=jnp.int32) < ds.n_xyt
     pos_valid = jnp.arange(FPOS, dtype=jnp.int32) < ds.n_pos
@@ -261,8 +325,6 @@ def run_batch_epoch(
     ext_p = np.pad(ext_p, (0, pad))
     ext_slot = np.pad(ext_slot, (0, pad))
     ext_c = np.pad(ext_c, (0, pad))
-    ext_valid = np.zeros(KEXT, dtype=bool)
-    ext_valid[:K] = True
 
     pos_full = np.arange(NCAP, dtype=np.int32)
     pos_full[: nnodes] = sym.pos
@@ -271,18 +333,12 @@ def run_batch_epoch(
 
     MB = node_bucket(nnodes, NCAP)
 
+    symb = pack_symb(NCAP, BCAP, KEXT, R_idx_np, R_nnz_np, pos_full,
+                     order_full, ext_p, ext_slot, ext_c, K, log_mode)
     ds, chi2, spd = _batch_step(
         ds,
-        jnp.asarray(pos_full),
-        jnp.asarray(order_full),
-        jnp.asarray(R_idx_np),
-        jnp.asarray(R_nnz_np),
-        jnp.asarray(ext_p),
-        jnp.asarray(ext_slot),
-        jnp.asarray(ext_c),
-        jnp.asarray(ext_valid),
+        jnp.asarray(symb),
         jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
-        jnp.int32(log_mode),
         MB=MB,
         KEXT=KEXT,
         gn_iters=cfg.effective_gn_iters,
@@ -305,18 +361,20 @@ def precompile_device_batch(ds: DeviceState, cfg: SolverConfig,
         mb = min(mb, NCAP)
         MB = mb
         KEXT = 8 * MB
+        symb = pack_symb(
+            NCAP, BCAP, KEXT,
+            np.full((NCAP, BCAP), NCAP, dtype=np.int32),
+            np.zeros(NCAP, dtype=np.int32),
+            np.arange(NCAP, dtype=np.int32),
+            np.arange(NCAP, dtype=np.int32),
+            np.zeros(KEXT, dtype=np.int32),
+            np.zeros(KEXT, dtype=np.int32),
+            np.zeros(KEXT, dtype=np.int32),
+            0, 2)
         ds, _, _ = _batch_step(
             ds,
-            jnp.arange(NCAP, dtype=jnp.int32),
-            jnp.arange(NCAP, dtype=jnp.int32),
-            jnp.full((NCAP, BCAP), NCAP, dtype=jnp.int32),
-            jnp.zeros(NCAP, dtype=jnp.int32),
-            jnp.zeros(KEXT, dtype=jnp.int32),
-            jnp.zeros(KEXT, dtype=jnp.int32),
-            jnp.zeros(KEXT, dtype=jnp.int32),
-            jnp.zeros(KEXT, dtype=bool),
+            jnp.asarray(symb),
             jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
-            jnp.int32(2),
             MB=MB, KEXT=KEXT, gn_iters=cfg.effective_gn_iters,
         )
         count += 1

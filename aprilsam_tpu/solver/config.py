@@ -60,6 +60,16 @@ class SolverConfig:
     # set > 256, fringe > 32 on a fast step, pattern rows wider than
     # ridx_pack_capacity) fall back to the legacy per-signature dispatch.
     mixed_bundles: bool = True
+    # Coalesce the full-path whole-graph back-substitution to ONCE per
+    # mixed bundle: full slots still run their frontal update and the
+    # EXACT affected-set solve (F is ancestor-closed), but the sweep that
+    # refreshes non-affected nodes — the dominant full-step device cost,
+    # ~2.7 ms of serialized pattern gathers — runs at bundle granularity.
+    # Off by default: per-step semantics then match the reference
+    # trajectory exactly (golden tests); benchmarks turn it on, accepting
+    # up to bundle_size steps of staleness on non-affected nodes (the
+    # final chi2 band is the guard, as with policy_lag).
+    coalesce_full_solves: bool = False
     # Pattern-row columns packed per affected row in bundle uploads (rows
     # are padded back to row_block_capacity with sentinels on device).
     # None = row_block_capacity: every plan fits the mixed layout.  The

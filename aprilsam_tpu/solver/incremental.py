@@ -918,34 +918,23 @@ def inc_bundle_fast(ds: DeviceState, packed_b,
     return jax.lax.scan(body, ds, packed_b)
 
 
-def _full_body(ds: DeviceState, packed,
-               MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, NPANB: int,
-               delta_xy: float, delta_theta: float, log_chi2: bool,
-               RCAP: Optional[int] = None, half: bool = False):
+def _global_sweep(ds: DeviceState, PANEL: int, NPANB: int,
+                  delta_xy: float, delta_theta: float) -> DeviceState:
+    """Whole-graph back-substitution x = R^{-1} y + update of every node
+    (solve_node with pruning disabled, aprilsam.c:721-779) over the ACTIVE
+    block rows (NPANB = bucketed ceil(nnodes / PANEL), a static
+    specialization so early-trajectory steps never sweep padding panels).
+
+    The panel diagonal triangles are extracted for ALL panels in ONE
+    one-hot MXU einsum and inverted BATCHED (pallas blocked tri-inverse on
+    TPU, solve-vs-identity elsewhere); the remaining sequential scan body
+    is a sparse gather + one [3P,3P] matvec per panel.  The dominant cost
+    left is the xb gather over NCAP*BCAP pattern slots (~2.7 ms at the
+    M3500 shapes) — which is why deferred-mode bundles coalesce this sweep
+    to once per bundle (cfg.coalesce_full_solves)."""
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
-    off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
-    off_f, _ = floats_layout(KNEW)
-    ints, floats, ridx = _unpack_plan(
-        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP, half)
-    if ridx.shape[1] < BCAP:
-        ridx = jnp.pad(ridx, ((0, 0), (0, BCAP - ridx.shape[1])),
-                       constant_values=NCAP)
-
-    ds, R_up, y_new, row_valid, scalar_valid, spd, _pos2f = _frontal_core(
-        ds, ints, floats, ridx, off_i, off_f, MAXAFF, KNEW)
-
-    # ---- panel back-substitution x = R^{-1} y over the ACTIVE block rows
-    # (NPANB = bucketed ceil(nnodes / PANEL), a static specialization so
-    # early-trajectory steps never sweep padding panels).  The panel
-    # diagonal triangles are extracted for ALL panels in ONE one-hot MXU
-    # einsum and inverted BATCHED (pallas blocked tri-inverse on TPU,
-    # solve-vs-identity elsewhere) BEFORE the sequential sweep: the old
-    # per-panel extraction + TriangularSolve inside the scan serialized
-    # into ~4 ms per full step (measured: 32 dead full@64 slots at
-    # 4.35 ms/slot vs 0.69 ms/slot fast), an order of magnitude over the
-    # op's FLOP/HBM bound.  The scan body is now gather + matvec only.
     n = ds.nnodes
     NP3 = 3 * PANEL
 
@@ -1007,8 +996,31 @@ def _full_body(ds: DeviceState, packed,
         jnp.where(ok, mod2pi(new_state[:, 2]), new_state[:, 2]))
     delta_X = jnp.where(ok[:, None], dx, ds.delta_X)
 
-    ds = ds._replace(state=new_state, delta_X=delta_X,
-                     relinearized=relinearized)
+    return ds._replace(state=new_state, delta_X=delta_X,
+                       relinearized=relinearized, start_over=start_over)
+
+
+def _full_body(ds: DeviceState, packed,
+               MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int, NPANB: int,
+               delta_xy: float, delta_theta: float, log_chi2: bool,
+               RCAP: Optional[int] = None, half: bool = False):
+    NCAP = ds.state.shape[0]
+    BCAP = ds.R_idx.shape[1]
+    dtype = ds.R_blocks.dtype
+    off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
+    off_f, _ = floats_layout(KNEW)
+    ints, floats, ridx = _unpack_plan(
+        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP, half)
+    if ridx.shape[1] < BCAP:
+        ridx = jnp.pad(ridx, ((0, 0), (0, BCAP - ridx.shape[1])),
+                       constant_values=NCAP)
+
+    ds, R_up, y_new, row_valid, scalar_valid, spd, _pos2f = _frontal_core(
+        ds, ints, floats, ridx, off_i, off_f, MAXAFF, KNEW)
+
+    ds = _global_sweep(ds, PANEL, NPANB, delta_xy, delta_theta)
+    start_over = ds.start_over
+
     chi2 = state_chi2(ds) if log_chi2 else jnp.asarray(jnp.nan, dtype)
     live = _unpack(ints, off_i, "scalars")[0] > 0
     return _finish(ds, chi2, start_over, spd, live, log_chi2)
@@ -1101,18 +1113,67 @@ def _mixed_slot_body(ds: DeviceState, packed,
 
 @partial(jax.jit,
          static_argnames=("KNEW", "PANEL", "NPANB", "RCAP",
-                          "delta_xy", "delta_theta", "log_chi2"),
+                          "delta_xy", "delta_theta", "log_chi2", "coalesce"),
          donate_argnames=("ds",))
 def inc_bundle_mixed(ds: DeviceState, packed_b,
                      KNEW: int, PANEL: int, NPANB: int, RCAP: int,
-                     delta_xy: float, delta_theta: float, log_chi2: bool):
-    """B heterogeneous steps in one dispatch (per-slot lax.switch)."""
+                     delta_xy: float, delta_theta: float, log_chi2: bool,
+                     coalesce: bool = False):
+    """B heterogeneous steps in one dispatch (per-slot lax.switch).
 
-    def body(ds, packed):
-        return _mixed_slot_body(ds, packed, KNEW, PANEL, NPANB, RCAP,
-                                delta_xy, delta_theta, log_chi2)
+    With `coalesce`, full-path slots run only their frontal update + the
+    EXACT affected-set solve (F is ancestor-closed, so x_F depends on no
+    other rows — the fast-path algebra at the larger bucket), and the
+    whole-graph sweep that refreshes non-affected nodes runs ONCE at
+    bundle end instead of per slot.  The sweep is the dominant full-step
+    cost (~2.7 ms of serialized pattern gathers, ~1,200 full steps per
+    M3500 replay), so deferred-mode benchmarks coalesce it to the same
+    granularity as dispatch itself; per-step semantics (and the reference
+    trajectory) are preserved with coalesce off.  The last slot's stats
+    row is patched to the post-sweep counters so the batch-fallback policy
+    sees the sweep's relinearizations."""
 
-    return jax.lax.scan(body, ds, packed_b)
+    if not coalesce:
+        def body(ds, packed):
+            return _mixed_slot_body(ds, packed, KNEW, PANEL, NPANB, RCAP,
+                                    delta_xy, delta_theta, log_chi2)
+
+        return jax.lax.scan(body, ds, packed_b)
+
+    BCAP = ds.R_idx.shape[1]
+    dtype = ds.R_blocks.dtype
+    NCAP = ds.state.shape[0]
+    half = half_ridx(NCAP, RCAP)
+
+    def body(carry, packed):
+        ds, any_full = carry
+        sel = packed[0]
+
+        def fastlike(M):
+            def f(ds):
+                _, L = packed_layout(M, MIXED_FR, KNEW, BCAP, dtype, RCAP,
+                                     half)
+                return _fast_body(ds, jax.lax.slice(packed, (1,), (1 + L,)),
+                                  M, MIXED_FR, KNEW,
+                                  delta_xy, delta_theta, log_chi2, RCAP,
+                                  half)
+            return f
+
+        ds, stats = jax.lax.switch(
+            sel, (fastlike(16), fastlike(16), fastlike(64), fastlike(256)),
+            ds)
+        return (ds, any_full | (sel > 0)), stats
+
+    (ds, any_full), stats = jax.lax.scan(body, (ds, jnp.asarray(False)),
+                                         packed_b)
+    ds = jax.lax.cond(
+        any_full,
+        lambda ds: _global_sweep(ds, PANEL, NPANB, delta_xy, delta_theta),
+        lambda ds: ds,
+        ds)
+    # expose the post-sweep cumulative counters to the policy reader
+    stats = stats.at[-1, 1].set(ds.start_over.astype(jnp.float32))
+    return ds, stats
 
 
 # ======================================================================
@@ -1687,7 +1748,8 @@ class IncrementalSolver:
             KNEW=K, PANEL=self.cfg.panel_nodes, NPANB=npanb, RCAP=RCAP,
             delta_xy=float(self.cfg.delta_xy),
             delta_theta=float(self.cfg.delta_theta),
-            log_chi2=self.cfg.log_chi2)
+            log_chi2=self.cfg.log_chi2,
+            coalesce=bool(self.cfg.coalesce_full_solves))
         return stats
 
     def _dispatch_queue(self):

@@ -132,6 +132,11 @@ def worker() -> int:
                                 # fast x32 = 0.32 ms/step vs x8 = 0.51)
         policy_poll=64,         # one policy d2h per ~4 bundles (each d2h
                                 # costs ~1 ms through the relay)
+        coalesce_full_solves=True,  # whole-graph sweep once per bundle
+                                # (full slots still solve their affected
+                                # set exactly; the sweep costs ~2.7 ms of
+                                # serialized gathers x ~1,200 full steps
+                                # when run per step — profile_mixedcost)
         log_chi2=False,         # the C demo times only the solver call
                                 # (aprilsam_demo.c:101-115); chi2 is computed
                                 # off the clock, here once at the end

@@ -39,6 +39,7 @@ def main():
         panel_nodes=128, wallclock_gate=False, policy_lag=16,
         bundle_size=32, policy_poll=64, log_chi2=False,
         batch_backend="auto" if platform == "cpu" else "device",
+        coalesce_full_solves=True,
     )
     if platform == "cpu":
         jax.config.update("jax_enable_x64", True)

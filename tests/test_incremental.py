@@ -340,6 +340,60 @@ def test_mixed_bundles_match_legacy_and_narrow_rcap():
     np.testing.assert_allclose(h_n, h_l, atol=1e-12)
 
 
+def test_coalesced_full_solves_close_to_per_step():
+    """cfg.coalesce_full_solves defers the whole-graph sweep to bundle
+    granularity (full slots still solve their affected set exactly).  The
+    final optimum must match the per-step trajectory closely: the last
+    bundle's sweep runs the same global solve on the same R/y up to
+    intermediate-staleness effects on seeding/relinearization."""
+    g = chain_graph(40, y_noise=0.05, seed=3)
+    for (a, b) in [(2, 20), (5, 30), (10, 38)]:
+        z = np_xyt_inv_mul(g.init[a], g.init[b]) + np.array([0.1, -0.05, 0.02])
+        g.add_factor_xyt(a, b, z, W_ODO)
+
+    def replay(**cfg_kw):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg(nthreshold=10**9), bundle_size=4, policy_lag=4,
+            **cfg_kw)
+        s = IncrementalSolver(cfg)
+        from aprilsam_tpu.graph import FactorGraph
+        from aprilsam_tpu.solver.incremental import SeedSpec
+
+        live = FactorGraph()
+        by_max = [[] for _ in range(40)]
+        for f in range(g.nfactors):
+            a, b = g.fnodes[f]
+            by_max[int(max(a, b))].append(f)
+        for k in range(40):
+            live.add_node(g.init[k], init=g.init[k])
+            seeds = []
+            for f in by_max[k]:
+                a, b = (int(v) for v in g.fnodes[f])
+                if b >= 0:
+                    if abs(a - b) == 1:
+                        if a < b:
+                            seeds.append(SeedSpec(a, b, g.fz[f], False))
+                        else:
+                            seeds.append(SeedSpec(b, a, g.fz[f], True))
+                    live.add_factor_xyt(a, b, g.fz[f], g.fW[f])
+                else:
+                    live.add_factor_xytpos(a, g.fz[f], g.fW[f])
+            if k == 0:
+                s.solve(live)
+            else:
+                s.update(live, seeds=seeds)
+        s.flush(live)
+        return np.asarray(s.ds.state[:40]), float(s.chi2())
+
+    st_c, c_c = replay(coalesce_full_solves=True)
+    st_p, c_p = replay(coalesce_full_solves=False)
+    assert np.isfinite(c_c)
+    np.testing.assert_allclose(st_c, st_p, atol=1e-6)
+    assert abs(c_c - c_p) < 1e-6
+
+
 @pytest.mark.parametrize("backend", ["device", "host"])
 def test_plan_overflow_fallback_ingests_new_factors(backend):
     """A step whose plan overflows (> new_factor_capacity factors at once)
