@@ -888,6 +888,12 @@ def inc_ingest_tail(ds: DeviceState, packed, KNEW: int):
     )
 
 
+def _legacy_half(ds: DeviceState) -> bool:
+    """int16 pair-packing rule for the legacy (per-signature) layouts:
+    full-width ridx (RCAP = BCAP).  Must mirror the host-side pack."""
+    return half_ridx(ds.state.shape[0], ds.R_idx.shape[1])
+
+
 @partial(jax.jit,
          static_argnames=("MAXAFF", "MAXFR", "KNEW", "delta_xy", "delta_theta",
                           "log_chi2"),
@@ -896,7 +902,8 @@ def inc_step_fast(ds: DeviceState, packed,
                   MAXAFF: int, MAXFR: int, KNEW: int,
                   delta_xy: float, delta_theta: float, log_chi2: bool):
     return _fast_body(ds, packed,
-                      MAXAFF, MAXFR, KNEW, delta_xy, delta_theta, log_chi2)
+                      MAXAFF, MAXFR, KNEW, delta_xy, delta_theta, log_chi2,
+                      None, _legacy_half(ds))
 
 
 @partial(jax.jit,
@@ -908,11 +915,12 @@ def inc_bundle_fast(ds: DeviceState, packed_b,
                     delta_xy: float, delta_theta: float, log_chi2: bool):
     """B consecutive fast steps in one dispatch (lax.scan over plan slices);
     padding slots are no-ops."""
+    half = _legacy_half(ds)
 
     def body(ds, packed):
         ds, stats = _fast_body(ds, packed,
                                MAXAFF, MAXFR, KNEW, delta_xy, delta_theta,
-                               log_chi2)
+                               log_chi2, None, half)
         return ds, stats
 
     return jax.lax.scan(body, ds, packed_b)
@@ -1035,23 +1043,40 @@ def inc_step_full(ds: DeviceState, packed,
                   delta_xy: float, delta_theta: float, log_chi2: bool):
     return _full_body(ds, packed,
                       MAXAFF, MAXFR, KNEW, PANEL, NPANB,
-                      delta_xy, delta_theta, log_chi2)
+                      delta_xy, delta_theta, log_chi2,
+                      None, _legacy_half(ds))
 
 
 @partial(jax.jit,
          static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "NPANB",
-                          "delta_xy", "delta_theta", "log_chi2"),
+                          "delta_xy", "delta_theta", "log_chi2", "coalesce"),
          donate_argnames=("ds",))
 def inc_bundle_full(ds: DeviceState, packed_b,
                     MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int,
                     NPANB: int, delta_xy: float, delta_theta: float,
-                    log_chi2: bool):
-    """B consecutive full steps in one dispatch."""
+                    log_chi2: bool, coalesce: bool = False):
+    """B consecutive full steps in one dispatch.  With `coalesce`, slots
+    run frontal + exact affected-set solves and the whole-graph sweep runs
+    once at bundle end (see inc_bundle_mixed) — this is the path for
+    affected sets beyond the largest mixed bucket."""
+    half = _legacy_half(ds)
+
+    if coalesce:
+        def body(ds, packed):
+            ds, stats = _fast_body(ds, packed,
+                                   MAXAFF, MAXFR, KNEW, delta_xy,
+                                   delta_theta, log_chi2, None, half)
+            return ds, stats
+
+        ds, stats = jax.lax.scan(body, ds, packed_b)
+        ds = _global_sweep(ds, PANEL, NPANB, delta_xy, delta_theta)
+        stats = stats.at[-1, 1].set(ds.start_over.astype(jnp.float32))
+        return ds, stats
 
     def body(ds, packed):
         ds, stats = _full_body(ds, packed,
                                MAXAFF, MAXFR, KNEW, PANEL, NPANB,
-                               delta_xy, delta_theta, log_chi2)
+                               delta_xy, delta_theta, log_chi2, None, half)
         return ds, stats
 
     return jax.lax.scan(body, ds, packed_b)
@@ -1666,9 +1691,14 @@ class IncrementalSolver:
         float-bit encoding must match the kernel's unpacking width."""
         return np.dtype(self.ds.R_blocks.dtype)
 
+    @property
+    def _legacy_half(self) -> bool:
+        return half_ridx(self.cfg.node_capacity, self.cfg.row_block_capacity)
+
     def _dispatch_one(self, plan: StepPlan, sig):
         K = self.cfg.new_factor_capacity
-        packed = jnp.asarray(pack_plan(plan, self._device_dtype))
+        packed = jnp.asarray(
+            pack_plan(plan, self._device_dtype, None, self._legacy_half))
         if sig[0] == "fast":
             self.ds, stats = inc_step_fast(
                 self.ds, packed,
@@ -1785,13 +1815,18 @@ class IncrementalSolver:
         K = self.cfg.new_factor_capacity
         plans = [p for p, _sel in self._queue]
 
-        rows = [pack_plan(p, self._device_dtype) for p in plans]
+        half = self._legacy_half
+        rows = [pack_plan(p, self._device_dtype, None, half) for p in plans]
         if k < B:
             dead = np.zeros_like(rows[0])
             seg, _ = packed_layout(sig[1], sig[2], K,
                                    self.cfg.row_block_capacity,
-                                   self._device_dtype)
-            dead[seg["ridx"][0]:seg["ridx"][1]] = self.cfg.node_capacity
+                                   self._device_dtype, None, half)
+            sent = self.cfg.node_capacity
+            if half:
+                sent = np.array([sent, sent], dtype=np.int16).view(
+                    np.int32)[0]
+            dead[seg["ridx"][0]:seg["ridx"][1]] = sent
             rows = rows + [dead] * (B - k)
         packed_b = jnp.asarray(np.stack(rows))
 
@@ -1809,7 +1844,8 @@ class IncrementalSolver:
                 PANEL=self.cfg.panel_nodes, NPANB=sig[3],
                 delta_xy=float(self.cfg.delta_xy),
                 delta_theta=float(self.cfg.delta_theta),
-                log_chi2=self.cfg.log_chi2)
+                log_chi2=self.cfg.log_chi2,
+                coalesce=bool(self.cfg.coalesce_full_solves))
 
         base = self.steps_done - k
         step_ms = self._mark_dispatch(k)
