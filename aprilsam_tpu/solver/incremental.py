@@ -76,8 +76,19 @@ KSEED = 4   # max odometry seedings per step
 # Mixed-bundle branch layout (see "mixed bundles" section below): affected-set
 # buckets sharing one executable, and THE single static fringe width — every
 # fast plan is packed at MIXED_FR so fast and full slots share one layout.
-MIXED_BUCKETS = (16, 64, 256)
+# The 1024 branch exists so even the largest pre-overflow affected sets ride
+# the mixed stream (a separate per-signature dispatch used to flush the
+# queue around every such step).
+MIXED_BUCKETS = (16, 64, 256, 1024)
 MIXED_FR = 32
+
+# Static word-length buckets of the RAGGED mixed-bundle flat buffer: each
+# slot occupies only its own branch's packed length (a fast slot is ~1.4k
+# words vs the 13.6k the old uniform layout reserved for every slot), so a
+# typical 32-slot bundle packs into ~62k words — the first bucket.  Two
+# buckets keep the executable count low; a bundle that would overflow the
+# largest is dispatched in chunks.
+MIXED_FLAT_BUCKETS = (131072, 262144)
 
 
 @dataclass
@@ -1100,97 +1111,92 @@ def inc_bundle_full(ds: DeviceState, packed_b,
 # packs every plan at the MIXED_FR fringe width.)
 
 
-def mixed_slot_len(K: int, BCAP: int, dtype, RCAP: int,
-                   half: bool = False) -> int:
-    lmax = 0
-    for M in MIXED_BUCKETS:
-        _, L = packed_layout(M, MIXED_FR, K, BCAP, dtype, RCAP, half)
-        lmax = max(lmax, L)
-    return 1 + lmax
+def mixed_branch_len(M: int, K: int, BCAP: int, dtype, RCAP: int,
+                     half: bool) -> int:
+    _, L = packed_layout(M, MIXED_FR, K, BCAP, dtype, RCAP, half)
+    return L
 
 
-def _mixed_slot_body(ds: DeviceState, packed,
-                     KNEW: int, PANEL: int, NPANB: int, RCAP: int,
-                     delta_xy: float, delta_theta: float, log_chi2: bool):
-    NCAP = ds.state.shape[0]
-    BCAP = ds.R_idx.shape[1]
-    dtype = ds.R_blocks.dtype
-    half = half_ridx(NCAP, RCAP)   # static; must mirror the host-side pack
-    sel = packed[0]
-
-    def fast16(ds):
-        _, L = packed_layout(16, MIXED_FR, KNEW, BCAP, dtype, RCAP, half)
-        return _fast_body(ds, jax.lax.slice(packed, (1,), (1 + L,)),
-                          16, MIXED_FR, KNEW,
-                          delta_xy, delta_theta, log_chi2, RCAP, half)
-
-    def full(M):
-        def f(ds):
-            _, L = packed_layout(M, MIXED_FR, KNEW, BCAP, dtype, RCAP, half)
-            return _full_body(ds, jax.lax.slice(packed, (1,), (1 + L,)),
-                              M, MIXED_FR, KNEW, PANEL, NPANB,
-                              delta_xy, delta_theta, log_chi2, RCAP, half)
-        return f
-
-    return jax.lax.switch(
-        sel, (fast16, full(16), full(64), full(256)), ds)
+def mixed_flat_bucket(total: int) -> Optional[int]:
+    for b in MIXED_FLAT_BUCKETS:
+        if total <= b:
+            return b
+    return None
 
 
 @partial(jax.jit,
          static_argnames=("KNEW", "PANEL", "NPANB", "RCAP",
                           "delta_xy", "delta_theta", "log_chi2", "coalesce"),
          donate_argnames=("ds",))
-def inc_bundle_mixed(ds: DeviceState, packed_b,
+def inc_bundle_mixed(ds: DeviceState, flat, offs,
                      KNEW: int, PANEL: int, NPANB: int, RCAP: int,
                      delta_xy: float, delta_theta: float, log_chi2: bool,
                      coalesce: bool = False):
-    """B heterogeneous steps in one dispatch (per-slot lax.switch).
+    """B heterogeneous steps in one dispatch — RAGGED layout.
+
+    `flat` is a bucketed-static int32 buffer holding each slot's payload
+    contiguously at `offs[i]`: word 0 selects the branch (0 = fast@16,
+    then full@MIXED_BUCKETS), the rest is that branch's own packed-plan
+    layout.  Slots therefore pay only their own branch's length (a fast
+    slot is ~1.4k words vs the 13.6k-word uniform slot the old layout
+    reserved), which matters because relay h2d is bandwidth-priced
+    (~60-80 MB/s effective) and upload volume was the largest remaining
+    replay cost.  Padding slots share ONE dead fast slot.
 
     With `coalesce`, full-path slots run only their frontal update + the
     EXACT affected-set solve (F is ancestor-closed, so x_F depends on no
     other rows — the fast-path algebra at the larger bucket), and the
     whole-graph sweep that refreshes non-affected nodes runs ONCE at
-    bundle end instead of per slot.  The sweep is the dominant full-step
-    cost (~2.7 ms of serialized pattern gathers, ~1,200 full steps per
-    M3500 replay), so deferred-mode benchmarks coalesce it to the same
-    granularity as dispatch itself; per-step semantics (and the reference
-    trajectory) are preserved with coalesce off.  The last slot's stats
-    row is patched to the post-sweep counters so the batch-fallback policy
-    sees the sweep's relinearizations."""
-
-    if not coalesce:
-        def body(ds, packed):
-            return _mixed_slot_body(ds, packed, KNEW, PANEL, NPANB, RCAP,
-                                    delta_xy, delta_theta, log_chi2)
-
-        return jax.lax.scan(body, ds, packed_b)
-
+    bundle end instead of per slot (the sweep is the dominant full-step
+    cost: ~2.7 ms of serialized pattern gathers).  Per-step semantics
+    (and the reference trajectory) are preserved with coalesce off.  The
+    last slot's stats row is patched to the post-sweep counters so the
+    batch-fallback policy sees the sweep's relinearizations."""
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
     NCAP = ds.state.shape[0]
     half = half_ridx(NCAP, RCAP)
 
-    def body(carry, packed):
-        ds, any_full = carry
-        sel = packed[0]
+    def slot(ds, off, per_slot_sweep: bool):
+        sel = flat[off]
 
         def fastlike(M):
             def f(ds):
-                _, L = packed_layout(M, MIXED_FR, KNEW, BCAP, dtype, RCAP,
-                                     half)
-                return _fast_body(ds, jax.lax.slice(packed, (1,), (1 + L,)),
-                                  M, MIXED_FR, KNEW,
+                L = mixed_branch_len(M, KNEW, BCAP, dtype, RCAP, half)
+                seg = jax.lax.dynamic_slice(flat, (off + 1,), (L,))
+                return _fast_body(ds, seg, M, MIXED_FR, KNEW,
                                   delta_xy, delta_theta, log_chi2, RCAP,
                                   half)
             return f
 
-        ds, stats = jax.lax.switch(
-            sel, (fastlike(16), fastlike(16), fastlike(64), fastlike(256)),
-            ds)
+        def fulllike(M):
+            def f(ds):
+                L = mixed_branch_len(M, KNEW, BCAP, dtype, RCAP, half)
+                seg = jax.lax.dynamic_slice(flat, (off + 1,), (L,))
+                return _full_body(ds, seg, M, MIXED_FR, KNEW, PANEL, NPANB,
+                                  delta_xy, delta_theta, log_chi2, RCAP,
+                                  half)
+            return f
+
+        full_branch = fulllike if per_slot_sweep else fastlike
+        branches = (fastlike(16),) + tuple(
+            full_branch(M) for M in MIXED_BUCKETS)
+        return jax.lax.switch(sel, branches, ds)
+
+    if not coalesce:
+        def body(ds, off):
+            return slot(ds, off, per_slot_sweep=True)
+
+        return jax.lax.scan(body, ds, offs)
+
+    def body(carry, off):
+        ds, any_full = carry
+        sel = flat[off]
+        ds, stats = slot(ds, off, per_slot_sweep=False)
         return (ds, any_full | (sel > 0)), stats
 
     (ds, any_full), stats = jax.lax.scan(body, (ds, jnp.asarray(False)),
-                                         packed_b)
+                                         offs)
     ds = jax.lax.cond(
         any_full,
         lambda ds: _global_sweep(ds, PANEL, NPANB, delta_xy, delta_theta),
@@ -1740,47 +1746,75 @@ class IncrementalSolver:
     def _half_ridx(self) -> bool:
         return half_ridx(self.cfg.node_capacity, self.cfg.effective_ridx_pack)
 
-    def _dead_mixed_row(self) -> np.ndarray:
-        """A no-op mixed slot: fast@16 with m = 0 (live=False everywhere)."""
+    def _dead_mixed_slot(self) -> np.ndarray:
+        """A no-op mixed slot payload ([sel=0 | fast@16 plan with m = 0]);
+        every padding slot of a ragged bundle points at ONE copy of it."""
         K = self.cfg.new_factor_capacity
         BCAP = self.cfg.row_block_capacity
         RCAP = self.cfg.effective_ridx_pack
         half = self._half_ridx
-        LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP, half)
-        row = np.zeros(LEN, dtype=np.int32)
-        seg, _ = packed_layout(16, MIXED_FR, K, BCAP,
+        seg, L = packed_layout(16, MIXED_FR, K, BCAP,
                                self._device_dtype, RCAP, half)
+        row = np.zeros(1 + L, dtype=np.int32)
         sent = self.cfg.node_capacity
         if half:
             sent = np.array([sent, sent], dtype=np.int16).view(np.int32)[0]
         row[1 + seg["ridx"][0]: 1 + seg["ridx"][1]] = sent
         return row
 
-    def _dispatch_mixed(self, entries, npanb: int):
-        """Dispatch queued (plan, sel) entries through the mixed-bundle
-        executable, padding dead slots to the full bundle width."""
+    def _dispatch_mixed(self, entries, npanb: int, flatcap: int = None):
+        """Dispatch queued (plan, sel) entries through the ragged
+        mixed-bundle executable.  Returns a list of (stats, nrows) chunks —
+        normally one; more when the packed payloads overflow the largest
+        flat bucket (the caller maps pending rows chunk by chunk)."""
         K = self.cfg.new_factor_capacity
-        BCAP = self.cfg.row_block_capacity
         RCAP = self.cfg.effective_ridx_pack
         half = self._half_ridx
         B = max(1, self.cfg.bundle_size)
-        LEN = mixed_slot_len(K, BCAP, self._device_dtype, RCAP, half)
-        rows = np.zeros((B, LEN), dtype=np.int32)
-        for i, (plan, sel) in enumerate(entries):
-            body = pack_plan(plan, self._device_dtype, RCAP, half)
-            rows[i, 0] = sel
-            rows[i, 1: 1 + body.shape[0]] = body
-        if len(entries) < B:
-            rows[len(entries):] = self._dead_mixed_row()[None]
-        packed_b = jnp.asarray(rows)
-        self.ds, stats = inc_bundle_mixed(
-            self.ds, packed_b,
-            KNEW=K, PANEL=self.cfg.panel_nodes, NPANB=npanb, RCAP=RCAP,
-            delta_xy=float(self.cfg.delta_xy),
-            delta_theta=float(self.cfg.delta_theta),
-            log_chi2=self.cfg.log_chi2,
-            coalesce=bool(self.cfg.coalesce_full_solves))
-        return stats
+        dtype = self._device_dtype
+        dead = self._dead_mixed_slot()
+
+        bodies = [(sel, pack_plan(plan, dtype, RCAP, half))
+                  for plan, sel in entries]
+
+        # greedy chunking: each chunk's payloads + one dead slot must fit
+        # the largest flat bucket
+        chunks = []
+        cur, cur_words = [], 0
+        for sel, body in bodies:
+            w = 1 + body.shape[0]
+            if cur and cur_words + w + dead.shape[0] > MIXED_FLAT_BUCKETS[-1]:
+                chunks.append(cur)
+                cur, cur_words = [], 0
+            cur.append((sel, body))
+            cur_words += w
+        chunks.append(cur)   # possibly empty (precompile)
+
+        out = []
+        for chunk in chunks:
+            offs = np.zeros(B, dtype=np.int32)
+            total = sum(1 + b.shape[0] for _s, b in chunk)
+            dead_off = total
+            total += dead.shape[0]
+            FLATCAP = flatcap or mixed_flat_bucket(total)
+            flat = np.zeros(FLATCAP, dtype=np.int32)
+            p = 0
+            for i, (sel, body) in enumerate(chunk):
+                offs[i] = p
+                flat[p] = sel
+                flat[p + 1: p + 1 + body.shape[0]] = body
+                p += 1 + body.shape[0]
+            flat[dead_off: dead_off + dead.shape[0]] = dead
+            offs[len(chunk):] = dead_off
+            self.ds, stats = inc_bundle_mixed(
+                self.ds, jnp.asarray(flat), jnp.asarray(offs),
+                KNEW=K, PANEL=self.cfg.panel_nodes, NPANB=npanb, RCAP=RCAP,
+                delta_xy=float(self.cfg.delta_xy),
+                delta_theta=float(self.cfg.delta_theta),
+                log_chi2=self.cfg.log_chi2,
+                coalesce=bool(self.cfg.coalesce_full_solves))
+            out.append((stats, len(chunk)))
+        return out
 
     def _dispatch_queue(self):
         """Dispatch the queued plans as one bundled scan (padding dead
@@ -1791,13 +1825,15 @@ class IncrementalSolver:
         k = len(self._queue)
         B = max(1, self.cfg.bundle_size)
         if sig[0] == "mixed":
-            stats = self._dispatch_mixed(self._queue, sig[1])
+            chunks = self._dispatch_mixed(self._queue, sig[1])
             base = self.steps_done - k
             step_ms = self._mark_dispatch(k)
-            for i in range(k):
-                self._pending.append(
-                    _Pending(base + i, stats, self._batch_serial, row=i,
-                             step_ms=step_ms))
+            for stats, nrows in chunks:
+                for i in range(nrows):
+                    self._pending.append(
+                        _Pending(base + i, stats, self._batch_serial, row=i,
+                                 step_ms=step_ms))
+                base += nrows
             self._queue.clear()
             self._queue_sig = None
             return
@@ -1890,14 +1926,14 @@ class IncrementalSolver:
         npanbs.append(npanb_max)
         sigs = [("fast", self.cfg.frontal_buckets[0], fr)]
         if self.cfg.mixed_bundles and self.cfg.bundle_size > 1:
-            # mixed mode: one executable per active-panel count covers every
-            # fast/full step whose plan fits the mixed layout; the legacy
-            # signatures remain only for the rare overflow buckets
+            # mixed mode: one ragged executable per active-panel count
+            # covers EVERY fast/full bucket (incl. 1024) — no legacy
+            # signatures remain reachable
             sigs += [("mixed", npanb) for npanb in npanbs]
-        else:
-            for b in self.cfg.frontal_buckets[:3]:
-                for npanb in npanbs:
-                    sigs.append(("full", b, fr, npanb))
+            return tuple(sigs)
+        for b in self.cfg.frontal_buckets[:3]:
+            for npanb in npanbs:
+                sigs.append(("full", b, fr, npanb))
         # the biggest bucket is rare (plan overflow headroom): compile only
         # the late-trajectory panel counts it could realistically hit
         big = self.cfg.frontal_buckets[3] if len(self.cfg.frontal_buckets) > 3 else None
@@ -1923,7 +1959,11 @@ class IncrementalSolver:
         count = 0
         for sig in signatures:
             if sig[0] == "mixed":
-                self._dispatch_mixed([], sig[1])
+                # compile BOTH flat buckets for this panel count (the big
+                # one otherwise compiles lazily mid-run on the first
+                # oversized bundle)
+                for fc in MIXED_FLAT_BUCKETS:
+                    self._dispatch_mixed([], sig[1], flatcap=fc)
                 self._pending.clear()
                 count += 1
                 continue

@@ -29,8 +29,8 @@ def main():
     from aprilsam_tpu.graph import FactorGraph
     from aprilsam_tpu.solver import SolverConfig
     from aprilsam_tpu.solver.incremental import (
-        IncrementalSolver, MIXED_FR, MIXED_BUCKETS, mixed_slot_len,
-        packed_layout, inc_bundle_mixed)
+        IncrementalSolver, MIXED_FR, MIXED_BUCKETS, MIXED_FLAT_BUCKETS,
+        mixed_branch_len, packed_layout, inc_bundle_mixed)
 
     cfg = SolverConfig(
         dtype=np.float32, node_capacity=4096, factor_capacity=8192,
@@ -57,41 +57,53 @@ def main():
     RCAP = cfg.effective_ridx_pack
     half = solver._half_ridx
     B = 32
-    LEN = mixed_slot_len(K, BCAP, np.float32, RCAP, half)
     npanb = 32
 
-    def dead_rows(sel: int) -> np.ndarray:
+    def dead_flat(sel: int):
+        """Ragged flat buffer: B identical dead slots of the branch."""
         M = 16 if sel == 0 else MIXED_BUCKETS[sel - 1]
-        row = np.zeros(LEN, dtype=np.int32)
+        seg, L = packed_layout(M, MIXED_FR, K, BCAP, np.float32, RCAP, half)
+        row = np.zeros(1 + L, dtype=np.int32)
         row[0] = sel
-        seg, _ = packed_layout(M, MIXED_FR, K, BCAP, np.float32, RCAP, half)
         sent = cfg.node_capacity
         if half:
             sent = np.array([sent, sent], dtype=np.int16).view(np.int32)[0]
         row[1 + seg["ridx"][0]: 1 + seg["ridx"][1]] = sent
-        return np.tile(row, (B, 1))
+        # distinct payload copies up to what the largest bucket holds; all
+        # B slots still execute (extra offs reuse payload 0)
+        ncopy = min(B, MIXED_FLAT_BUCKETS[-1] // (1 + L))
+        FLATCAP = next(b for b in MIXED_FLAT_BUCKETS
+                       if b >= ncopy * (1 + L))
+        flat = np.zeros(FLATCAP, dtype=np.int32)
+        offs = np.zeros(B, dtype=np.int32)
+        for i in range(B):
+            offs[i] = (i % ncopy) * (1 + L)
+        for i in range(ncopy):
+            flat[i * (1 + L): (i + 1) * (1 + L)] = row
+        return flat, offs
 
     # h2d cost of one bundle alone
-    rows = dead_rows(0)
-    o = jnp.asarray(rows)
+    flat, offs = dead_flat(0)
+    o = jnp.asarray(flat)
     jax.block_until_ready(o)
     t0 = time.perf_counter()
     for _ in range(20):
-        o = jnp.asarray(rows)
+        o = jnp.asarray(flat)
         jax.block_until_ready(o)
-    print(f"h2d bundle [{rows.nbytes/1e6:.2f} MB] blocking: "
+    print(f"h2d bundle [{flat.nbytes/1e6:.2f} MB] blocking: "
           f"{(time.perf_counter()-t0)/20*1e3:7.2f} ms", flush=True)
 
     for sel, name in ((0, "fast@16"), (1, "full@16"), (2, "full@64"),
-                      (3, "full@256")):
-        rows = dead_rows(sel)
+                      (3, "full@256"), (4, "full@1024")):
+        flat, offs = dead_flat(sel)
         ds = solver.ds
 
         def run(ds):
-            packed_b = jnp.asarray(rows)
             return inc_bundle_mixed(
-                ds, packed_b, KNEW=K, PANEL=cfg.panel_nodes, NPANB=npanb,
-                RCAP=RCAP, delta_xy=0.1, delta_theta=0.1, log_chi2=False)
+                ds, jnp.asarray(flat), jnp.asarray(offs),
+                KNEW=K, PANEL=cfg.panel_nodes, NPANB=npanb,
+                RCAP=RCAP, delta_xy=0.1, delta_theta=0.1, log_chi2=False,
+                coalesce=cfg.coalesce_full_solves)
 
         ds, _ = run(ds)   # compile/warm
         jax.block_until_ready(ds.state)
