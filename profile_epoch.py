@@ -102,7 +102,7 @@ def main():
           flush=True)
 
     # ---- end-to-end _batch_step at the ladder (dead symbolic inputs)
-    from aprilsam_tpu.solver.batch import _batch_step
+    from aprilsam_tpu.solver.batch import _batch_step, pack_symb
     from aprilsam_tpu.solver.config import SolverConfig
     from aprilsam_tpu.solver.state import init_device_state
 
@@ -111,20 +111,22 @@ def main():
     ds = init_device_state(cfg)
     for MB in (1024, 2048, 4096):
         KE = 8 * MB
+        symb = pack_symb(
+            NCAP, BCAP, KE,
+            np.full((NCAP, BCAP), NCAP, dtype=np.int32),
+            np.zeros(NCAP, dtype=np.int32),
+            np.arange(NCAP, dtype=np.int32),
+            np.arange(NCAP, dtype=np.int32),
+            np.zeros(KE, dtype=np.int32),
+            np.zeros(KE, dtype=np.int32),
+            np.zeros(KE, dtype=np.int32),
+            0, 2)
 
         def step(ds):
             return _batch_step(
                 ds,
-                jnp.arange(NCAP, dtype=jnp.int32),
-                jnp.arange(NCAP, dtype=jnp.int32),
-                jnp.full((NCAP, BCAP), NCAP, dtype=jnp.int32),
-                jnp.zeros(NCAP, dtype=jnp.int32),
-                jnp.zeros(KE, dtype=jnp.int32),
-                jnp.zeros(KE, dtype=jnp.int32),
-                jnp.zeros(KE, dtype=jnp.int32),
-                jnp.zeros(KE, dtype=bool),
+                jnp.asarray(symb),
                 jnp.asarray(1e-4, dtype=dtype),
-                jnp.int32(2),
                 MB=MB, KEXT=KE, gn_iters=1,
             )
 
