@@ -60,6 +60,10 @@ TOTAL_CAP_S = 4500.0       # absolute ceiling (cold-cache warmup ~20 min +
                            # replay; warm runs finish in ~2 min)
 CPU_WORKER_TIMEOUT_S = 1200.0
 TERM_GRACE_S = 60.0        # SIGTERM -> SIGKILL drain window
+RETRY_BACKOFF_S = 300.0    # wait between TPU attempts: relay dead windows
+                           # run ~30 min, and a drained worker's device
+                           # claim can linger ~10 min — back off rather
+                           # than hammering a wedged relay
 
 
 # ======================================================================
@@ -325,32 +329,64 @@ def _emit(metric: str, value: float, unit: str) -> None:
 
 def main() -> int:
     forced_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    burned = 0
 
     if not forced_cpu:
-        result, progress, probe_ok = _run_worker(
-            dict(os.environ), PROBE_DEADLINE_S, IDLE_TIMEOUT_S, TOTAL_CAP_S)
-        if result:
-            ok = result.get("chi2_ok", False)
-            _emit(
-                "m3500_incremental_replay_poses_per_sec"
-                + ("" if ok else "_CHI2_PARITY_FAIL"),
-                result["poses_per_sec"],
-                f"poses/s (final_chi2={result['final_chi2']:.3f}, "
-                f"platform={result['platform']}, steps={result['steps']})",
-            )
-            return 0
-        if progress and progress.get("steps", 0) >= 250:
-            # relay died mid-run: salvage the dispatch-side partial number
-            pps = progress["steps"] / progress["elapsed_s"]
+        # Retry the TPU worker across relay dead windows (documented ~30 min;
+        # VERDICT r3: a single probe attempt converted a transient outage
+        # into a round-defining CPU number).  Budget: everything above the
+        # CPU-fallback reserve.  Each attempt gets the full remaining budget
+        # once its probe lands; a failed probe burns PROBE_DEADLINE_S +
+        # TERM_GRACE_S and we back off RETRY_BACKOFF_S before relaunching
+        # (never two TPU processes at once — a second process wedges on the
+        # first's device claim).
+        tpu_budget_s = TOTAL_CAP_S - CPU_WORKER_TIMEOUT_S
+        t0 = time.monotonic()
+        attempt = 0
+        best_partial = None
+        while True:
+            remaining = tpu_budget_s - (time.monotonic() - t0)
+            if remaining < PROBE_DEADLINE_S + TERM_GRACE_S:
+                break
+            attempt += 1
+            result, progress, probe_ok = _run_worker(
+                dict(os.environ), PROBE_DEADLINE_S, IDLE_TIMEOUT_S,
+                remaining)
+            tag = f"attempt={attempt}"
+            if result:
+                ok = result.get("chi2_ok", False)
+                _emit(
+                    "m3500_incremental_replay_poses_per_sec"
+                    + ("" if ok else "_CHI2_PARITY_FAIL"),
+                    result["poses_per_sec"],
+                    f"poses/s (final_chi2={result['final_chi2']:.3f}, "
+                    f"platform={result['platform']}, "
+                    f"steps={result['steps']}, {tag})",
+                )
+                return 0
+            if progress and progress.get("steps", 0) >= 250:
+                # relay died mid-run: remember the best dispatch-side
+                # partial, but keep retrying for a complete run
+                pps = progress["steps"] / progress["elapsed_s"]
+                if best_partial is None or pps > best_partial[0]:
+                    best_partial = (pps, progress, attempt)
+            remaining = tpu_budget_s - (time.monotonic() - t0)
+            if remaining < PROBE_DEADLINE_S + TERM_GRACE_S + RETRY_BACKOFF_S:
+                break
+            time.sleep(RETRY_BACKOFF_S)
+        if best_partial is not None:
+            pps, progress, best_attempt = best_partial
             _emit(
                 "m3500_incremental_replay_poses_per_sec_PARTIAL",
                 pps,
                 f"poses/s (worker died after {progress['steps']} steps; "
-                f"dispatch-side rate, platform={progress['platform']})",
+                f"dispatch-side rate, platform={progress['platform']}, "
+                f"attempt {best_attempt} of {attempt})",
             )
             return 0
-        # fall through to CPU fallback (probe never came up, or the worker
-        # died before producing a usable partial)
+        # fall through to CPU fallback: every TPU attempt failed its probe
+        # or died before producing a usable partial
+        burned = attempt
 
     # accelerator unreachable (or forced cpu): clearly-labeled CPU fallback
     result, progress, _ = _run_worker(
@@ -364,7 +400,8 @@ def main() -> int:
             result["poses_per_sec"],
             f"poses/s (final_chi2={result['final_chi2']:.3f}, platform=cpu, "
             f"steps={result['steps']}; accelerator "
-            + ("forced off" if forced_cpu else "unreachable") + ")",
+            + ("forced off" if forced_cpu
+               else f"unreachable after {burned} attempts") + ")",
         )
         return 0
     if progress and progress.get("steps", 0) >= 250:
