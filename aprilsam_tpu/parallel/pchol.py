@@ -114,6 +114,7 @@ def pchol_solve(
     c,
     tikhonov=0.0,
     solve_mode: str = "auto",
+    gather_limit: int = None,
 ):
     """Solve the psum_scattered system: returns replicated x [n].
 
@@ -130,9 +131,16 @@ def pchol_solve(
         replicated [n, n] buffer per device.
       * "looped": per-pivot psum walk (O(n) collectives, O(n*b) memory) —
         the fallback once the replicated factor would not fit comfortably.
-      * "auto": gathered up to n = 16384 scalars (a 1 GiB f32 factor),
-        looped beyond.
+      * "auto": gathered up to n = gather_limit scalars, looped beyond.
+
+    gather_limit sizes the "auto" cutoff (default 16384, a 1 GiB f32
+    replicated factor + a comparable all_gather buffer — transiently ~2 GiB
+    per device on top of the live strip).  On small-HBM parts pass a lower
+    limit; there is no portable JAX API to query free device memory inside
+    a shard_map body, so the cutoff is a parameter rather than derived.
     """
+    if gather_limit is None:
+        gather_limit = 16384
     D, b, m, nb, n = geom.D, geom.b, geom.m, geom.nb, geom.n
     dt = S_strip.dtype
     d = lax.axis_index(axis)
@@ -176,7 +184,7 @@ def pchol_solve(
     c = c * dvec
 
     if solve_mode == "auto":
-        solve_mode = "gathered" if n <= 16384 else "looped"
+        solve_mode = "gathered" if n <= gather_limit else "looped"
     if solve_mode == "gathered":
         # one collective: reassemble the global factor from the cyclic
         # strips (global block g lives on device g % D at slot g // D) and

@@ -50,8 +50,10 @@ def _ext_bucket(k: int) -> int:
 
 def symb_half(NCAP: int) -> bool:
     """Whether the epoch's symbolic upload packs as int16 pairs (all packed
-    values — positions, slots, nnz — are bounded by NCAP/BCAP)."""
-    return NCAP <= 32766
+    values — positions, slots, nnz — are bounded by NCAP/BCAP).  Requires
+    every packed segment length to be even (symb_layout's n // w would
+    silently truncate an odd segment; pack_symb's .view would then raise)."""
+    return NCAP <= 32766 and NCAP % 2 == 0
 
 
 def symb_layout(NCAP: int, BCAP: int, KEXT: int):
@@ -205,7 +207,12 @@ def _batch_step(
     blocks = blocks.transpose(0, 2, 1)     # [KEXT, 3, 3]
     blocks = jnp.where(ext_valid[:, None, None], blocks, 0.0)
     BCAPd = ds.R_idx.shape[1]
-    dest_p = jnp.where(ext_valid, ext_p, NCAP)
+    # padded rows get DISTINCT out-of-bounds destinations (NCAP + i) so the
+    # unique_indices promise holds unconditionally — a shared sentinel would
+    # make the scatter implementation-defined under XLA's contract even
+    # though FILL_OR_DROP drops every padded entry in practice
+    dest_p = jnp.where(ext_valid, ext_p,
+                       NCAP + jnp.arange(KEXT, dtype=jnp.int32))
     dest_s = jnp.where(ext_valid, ext_slot, BCAPd)
     sidx = jnp.stack([dest_p, dest_s], axis=1)
     sdn = jax.lax.ScatterDimensionNumbers(

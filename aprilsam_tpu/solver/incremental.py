@@ -1062,7 +1062,7 @@ def inc_step_full(ds: DeviceState, packed,
          static_argnames=("MAXAFF", "MAXFR", "KNEW", "PANEL", "NPANB",
                           "delta_xy", "delta_theta", "log_chi2", "coalesce"),
          donate_argnames=("ds",))
-def inc_bundle_full(ds: DeviceState, packed_b,
+def inc_bundle_full(ds: DeviceState, packed_b, n_live,
                     MAXAFF: int, MAXFR: int, KNEW: int, PANEL: int,
                     NPANB: int, delta_xy: float, delta_theta: float,
                     log_chi2: bool, coalesce: bool = False):
@@ -1081,7 +1081,9 @@ def inc_bundle_full(ds: DeviceState, packed_b,
 
         ds, stats = jax.lax.scan(body, ds, packed_b)
         ds = _global_sweep(ds, PANEL, NPANB, delta_xy, delta_theta)
-        stats = stats.at[-1, 1].set(ds.start_over.astype(jnp.float32))
+        # patch the last LIVE slot's row (see inc_bundle_mixed)
+        stats = stats.at[jnp.maximum(n_live - 1, 0), 1].set(
+            ds.start_over.astype(jnp.float32))
         return ds, stats
 
     def body(ds, packed):
@@ -1128,7 +1130,7 @@ def mixed_flat_bucket(total: int) -> Optional[int]:
          static_argnames=("KNEW", "PANEL", "NPANB", "RCAP",
                           "delta_xy", "delta_theta", "log_chi2", "coalesce"),
          donate_argnames=("ds",))
-def inc_bundle_mixed(ds: DeviceState, flat, offs,
+def inc_bundle_mixed(ds: DeviceState, flat, offs, n_live,
                      KNEW: int, PANEL: int, NPANB: int, RCAP: int,
                      delta_xy: float, delta_theta: float, log_chi2: bool,
                      coalesce: bool = False):
@@ -1202,8 +1204,11 @@ def inc_bundle_mixed(ds: DeviceState, flat, offs,
         lambda ds: _global_sweep(ds, PANEL, NPANB, delta_xy, delta_theta),
         lambda ds: ds,
         ds)
-    # expose the post-sweep cumulative counters to the policy reader
-    stats = stats.at[-1, 1].set(ds.start_over.astype(jnp.float32))
+    # expose the post-sweep cumulative counters to the policy reader in the
+    # last LIVE slot's row (row -1 is dead padding when the bundle/chunk is
+    # partially filled, and _Pending rows only cover the live slots)
+    stats = stats.at[jnp.maximum(n_live - 1, 0), 1].set(
+        ds.start_over.astype(jnp.float32))
     return ds, stats
 
 
@@ -1808,6 +1813,7 @@ class IncrementalSolver:
             offs[len(chunk):] = dead_off
             self.ds, stats = inc_bundle_mixed(
                 self.ds, jnp.asarray(flat), jnp.asarray(offs),
+                jnp.asarray(len(chunk), dtype=jnp.int32),
                 KNEW=K, PANEL=self.cfg.panel_nodes, NPANB=npanb, RCAP=RCAP,
                 delta_xy=float(self.cfg.delta_xy),
                 delta_theta=float(self.cfg.delta_theta),
@@ -1875,7 +1881,7 @@ class IncrementalSolver:
                 log_chi2=self.cfg.log_chi2)
         else:
             self.ds, stats = inc_bundle_full(
-                self.ds, packed_b,
+                self.ds, packed_b, jnp.asarray(k, dtype=jnp.int32),
                 MAXAFF=sig[1], MAXFR=sig[2], KNEW=K,
                 PANEL=self.cfg.panel_nodes, NPANB=sig[3],
                 delta_xy=float(self.cfg.delta_xy),
