@@ -189,6 +189,10 @@ class Replay:
         """Flush pending policy stats and backfill deferred chi2 values."""
         if isinstance(self.solver, IncrementalSolver):
             self.solver.flush(self.graph)
+            if self.cfg.superstep_size > 1:
+                # the metric ring holds one entry per superstep (not per
+                # step); per-step chi2 is undefined in this mode
+                return
             hist = self.solver.chi2_history()
             for r in self.results:
                 if math.isnan(r.chi2) and r.step < len(hist):

@@ -70,6 +70,26 @@ class SolverConfig:
     # up to bundle_size steps of staleness on non-affected nodes (the
     # final chi2 band is the guard, as with policy_lag).
     coalesce_full_solves: bool = False
+    # Supersteps: buffer this many incremental steps and dispatch them as
+    # ONE joint frontal update on the union affected set followed by one
+    # whole-graph sweep.  1 = off (per-step reference semantics).  B
+    # sequential frontal QR updates with fixed linearization points compose
+    # exactly into the joint update (R'^T R' = R^T R + sum J^T W J either
+    # way); the one drift is that within-bundle odometry seeds compose from
+    # pre-bundle states (see the superstep section in incremental.py).
+    # Replaces mixed bundles entirely when > 1: one dispatch, one h2d
+    # payload, and one host planning pass per bundle instead of per step.
+    superstep_size: int = 1
+    # Affected-set buckets for the union front (None = frontal_buckets).
+    # Unions exceeding the largest bucket trigger the batch fallback.
+    superstep_buckets: tuple = None
+
+    @property
+    def effective_superstep_buckets(self) -> tuple:
+        if self.superstep_buckets is not None:
+            return self.superstep_buckets
+        return self.frontal_buckets
+
     # Pattern-row columns packed per affected row in bundle uploads (rows
     # are padded back to row_block_capacity with sentinels on device).
     # None = row_block_capacity: every plan fits the mixed layout.  The

@@ -144,15 +144,16 @@ def _padded_rows(patterns: List[np.ndarray], rows: np.ndarray, BCAP: int,
     return out, nnz
 
 
-def ints_layout(M: int, FR: int, K: int):
+def ints_layout(M: int, FR: int, K: int, knode: int = KNODE,
+                kseed: int = KSEED):
     """Static offsets of the packed int vector."""
     names = [
         ("F_pos", M), ("F_node", M), ("new_Rnnz", M),
         ("nf_a_slot", K), ("nf_b_slot", K), ("nf_a", K), ("nf_b", K),
         ("np_slot", K), ("np_node", K),
         ("fringe_pos", FR), ("fringe_node", FR),
-        ("node_ids", KNODE), ("seed_src", KSEED), ("seed_dst", KSEED),
-        ("seed_inv", KSEED),
+        ("node_ids", knode), ("seed_src", kseed), ("seed_dst", kseed),
+        ("seed_inv", kseed),
         ("scalars", 8),  # m, n_new_xyt, n_new_pos, n_fringe, n_nodes, n_seeds
     ]
     off = {}
@@ -163,10 +164,10 @@ def ints_layout(M: int, FR: int, K: int):
     return off, o
 
 
-def floats_layout(K: int):
+def floats_layout(K: int, knode: int = KNODE, kseed: int = KSEED):
     names = [
         ("nf_z", K * 3), ("nf_W", K * 9), ("np_z", K * 3), ("np_W", K * 9),
-        ("node_states", KNODE * 3), ("seed_z", KSEED * 3),
+        ("node_states", knode * 3), ("seed_z", kseed * 3),
     ]
     off = {}
     o = 0
@@ -184,7 +185,8 @@ def half_ridx(NCAP: int, RCAP: int) -> bool:
 
 
 def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype,
-                  RCAP: Optional[int] = None, half: bool = False):
+                  RCAP: Optional[int] = None, half: bool = False,
+                  knode: int = KNODE, kseed: int = KSEED):
     """Static segment offsets of the single packed int32 plan vector.
 
     Every per-step input (control ints, measurement floats as raw bits, the
@@ -201,8 +203,8 @@ def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype,
     whenever node_capacity fits int16."""
     if RCAP is None:
         RCAP = BCAP
-    _, LI = ints_layout(MAXAFF, MAXFR, K)
-    _, LF = floats_layout(K)
+    _, LI = ints_layout(MAXAFF, MAXFR, K, knode, kseed)
+    _, LF = floats_layout(K, knode, kseed)
     words = 2 if np.dtype(dtype) == np.float64 else 1
     LFW = LF * words
     LM = MAXAFF * (RCAP // 2 if half else RCAP)
@@ -231,11 +233,13 @@ def pack_plan(plan: "StepPlan", dtype, RCAP: Optional[int] = None,
 
 
 def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype,
-                 RCAP: Optional[int] = None, half: bool = False):
+                 RCAP: Optional[int] = None, half: bool = False,
+                 knode: int = KNODE, kseed: int = KSEED):
     if RCAP is None:
         RCAP = BCAP
-    _, LF = floats_layout(K)
-    seg, L = packed_layout(MAXAFF, MAXFR, K, BCAP, dtype, RCAP, half)
+    _, LF = floats_layout(K, knode, kseed)
+    seg, L = packed_layout(MAXAFF, MAXFR, K, BCAP, dtype, RCAP, half,
+                           knode, kseed)
     ints = packed[seg["ints"][0]:seg["ints"][1]]
     fw = packed[seg["floats"][0]:seg["floats"][1]]
     if np.dtype(dtype) == np.float64:
@@ -304,13 +308,24 @@ def plan_step(
     f1: int,
     n_old: int,
     seeds: Sequence[SeedSpec],
+    knode: int = KNODE,
+    kseed: int = KSEED,
+    kfac: Optional[int] = None,
+    buckets: Optional[tuple] = None,
 ) -> Optional[StepPlan]:
     """Host symbolic work for one incremental step.  Returns None when the
     affected set exceeds the largest frontal bucket (caller falls back to a
-    batch epoch)."""
+    batch epoch).
+
+    The knode/kseed/kfac/buckets capacities default to the per-step layout;
+    superstep planning (plan the union of a whole bundle of steps in ONE
+    call) passes bundle-sized capacities — the packed layout scales with
+    them, and the kernel derives segment widths from the same parameters."""
     NCAP = cfg.node_capacity
     BCAP = cfg.row_block_capacity
-    K = cfg.new_factor_capacity
+    K = kfac if kfac is not None else cfg.new_factor_capacity
+    if buckets is None:
+        buckets = cfg.frontal_buckets
 
     # 1. extend ordering with new nodes (aprilsam.c:392-397)
     new_ids = list(range(n_old, g.nnodes))
@@ -321,10 +336,16 @@ def plan_step(
     # from the old one), which the vectorized gather relies on.
     by_dst = {}
     for s in seeds:
-        assert s.src < n_old, "seed source must be a pre-existing node"
         by_dst[s.dst] = s
     seeds = list(by_dst.values())
-    if len(new_ids) > KNODE or len(seeds) > KSEED:
+    # the kernel seeds in ONE vectorized hop (gather src state after node
+    # ingestion, scatter dst): a src that is itself seeded in the same plan
+    # would read its pre-seed state.  Per-step plans guarantee this because
+    # srcs pre-exist; superstep plans pre-compose within-bundle chains.
+    dsts = {s.dst for s in seeds}
+    assert all(s.src not in dsts for s in seeds), \
+        "seed chains must be pre-composed (src also seeded in this plan)"
+    if len(new_ids) > knode or len(seeds) > kseed:
         raise OverflowError("too many new nodes/seeds in one step")
     sym_mod.append_nodes(sym, new_ids)
 
@@ -347,7 +368,7 @@ def plan_step(
             np.zeros(0, dtype=np.int32)
         touched_pos = np.ascontiguousarray(np.concatenate(
             [ea_pos, eb_pos[has_b], new_pos]))
-        MAXCAP = cfg.frontal_buckets[-1]
+        MAXCAP = buckets[-1]
         FRCAP = 128
         F = np.empty(MAXCAP, dtype=np.int32)
         fringe = np.empty(FRCAP, dtype=np.int32)
@@ -369,7 +390,7 @@ def plan_step(
         m = int(mbuf[0])
         naffected = m - len(new_ids)
         F = F[:m]
-        MAXAFF = _bucket(m, cfg.frontal_buckets)
+        MAXAFF = _bucket(m, buckets)
         nfr = int(nfrbuf[0])
         # Single 32-wide fringe bucket: a fast step whose fringe exceeds it
         # takes the full path instead (exact, un-pruned solve — strictly more
@@ -401,7 +422,7 @@ def plan_step(
         F = np.unique(np.concatenate([F, new_pos])) if len(new_pos) else F
         m = len(F)
 
-        MAXAFF = _bucket(m, cfg.frontal_buckets)
+        MAXAFF = _bucket(m, buckets)
         if MAXAFF is None:
             return None
 
@@ -434,8 +455,8 @@ def plan_step(
         MAXFR = MIXED_FR
 
     # 5. pack
-    off_i, len_i = ints_layout(MAXAFF, MAXFR, K)
-    off_f, len_f = floats_layout(K)
+    off_i, len_i = ints_layout(MAXAFF, MAXFR, K, knode, kseed)
+    off_f, len_f = floats_layout(K, knode, kseed)
     ints = np.zeros(len_i, dtype=np.int32)
     flts = np.zeros(len_f, dtype=np.float64)
 
@@ -540,22 +561,28 @@ def _frontal_core(ds, ints, floats, new_Ridx, off_i, off_f, MAXAFF, KNEW):
         sc[0], sc[1], sc[2], sc[3], sc[4], sc[5])
 
     # ---------------- new node ingestion + odometry seeding
+    # node/seed capacities are derived from the layout (KNODE/KSEED for
+    # per-step plans; superstep plans carry bundle-sized segments)
+    knode = off_i["node_ids"][1] - off_i["node_ids"][0]
+    kseed = off_i["seed_src"][1] - off_i["seed_src"][0]
     node_ids = _unpack(ints, off_i, "node_ids")
-    node_states = _unpack(floats, off_f, "node_states", (KNODE, 3)).astype(dtype)
-    nv = jnp.arange(KNODE, dtype=jnp.int32) < n_nodes
+    node_states = _unpack(floats, off_f, "node_states", (knode, 3)).astype(dtype)
+    nv = jnp.arange(knode, dtype=jnp.int32) < n_nodes
     dst_nodes = jnp.where(nv, node_ids, NCAP)
     state = ds.state.at[dst_nodes].set(node_states, mode="drop")
     l_point = ds.l_point.at[dst_nodes].set(node_states, mode="drop")
     delta_X = ds.delta_X.at[dst_nodes].set(0.0, mode="drop")
 
     # Odometry seeding, vectorized: plan_step dedups seeds (last-wins per
-    # dst, aprilsam_demo.c:180-191 applies them in factor order) and srcs are
-    # always pre-existing nodes, so one gather + one scatter suffices.
+    # dst, aprilsam_demo.c:180-191 applies them in factor order) and srcs
+    # always resolve to pre-existing nodes (superstep planning composes
+    # within-bundle seed chains host-side), so one gather + one scatter
+    # suffices.
     seed_src = _unpack(ints, off_i, "seed_src")
     seed_dst = _unpack(ints, off_i, "seed_dst")
     seed_inv = _unpack(ints, off_i, "seed_inv")
-    seed_z = _unpack(floats, off_f, "seed_z", (KSEED, 3)).astype(dtype)
-    sv = jnp.arange(KSEED, dtype=jnp.int32) < n_seeds
+    seed_z = _unpack(floats, off_f, "seed_z", (kseed, 3)).astype(dtype)
+    sv = jnp.arange(kseed, dtype=jnp.int32) < n_seeds
     src_states = state[jnp.clip(seed_src, 0, NCAP - 1)]        # [KSEED, 3]
     z_eff = jnp.where((seed_inv > 0)[:, None],
                       jax.vmap(xyt_inv)(seed_z), seed_z)
@@ -738,15 +765,16 @@ def _finish(ds: DeviceState, chi2, start_over, spd, live, log_chi2: bool):
 def _fast_body(ds: DeviceState, packed,
                MAXAFF: int, MAXFR: int, KNEW: int,
                delta_xy: float, delta_theta: float, log_chi2: bool,
-               RCAP: Optional[int] = None, half: bool = False):
+               RCAP: Optional[int] = None, half: bool = False,
+               knode: int = KNODE, kseed: int = KSEED):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
     M = MAXAFF
-    off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
-    off_f, _ = floats_layout(KNEW)
+    off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW, knode, kseed)
+    off_f, _ = floats_layout(KNEW, knode, kseed)
     ints, floats, ridx = _unpack_plan(
-        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP, half)
+        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP, half, knode, kseed)
     if ridx.shape[1] < BCAP:
         ridx = jnp.pad(ridx, ((0, 0), (0, BCAP - ridx.shape[1])),
                        constant_values=NCAP)
@@ -1212,6 +1240,71 @@ def inc_bundle_mixed(ds: DeviceState, flat, offs, n_live,
     return ds, stats
 
 
+# ----------------------------------------------------------------------
+# supersteps: a whole bundle of steps as ONE joint frontal update
+# ----------------------------------------------------------------------
+#
+# B sequential frontal updates with fixed linearization points compose:
+# after steps 1..B, R satisfies R^T R = R_0^T R_0 + sum_i J_i^T W_i J_i
+# regardless of whether the QRs ran one-by-one or as ONE joint
+# qr([R_Fu ; W^{1/2} J_all]) on the union affected set Fu (a union of
+# ancestor-closed sets is ancestor-closed, so the joint front is
+# self-contained exactly like the per-step one).  l_points are fixed
+# within a bundle by construction (updates move `state`, not `l_point`;
+# only batch epochs relinearize), so the equivalence is exact in exact
+# arithmetic.  The one semantic drift vs per-step execution: a new node's
+# odometry seed composes from the PRE-bundle state of its chain's base
+# node instead of the post-previous-step state (the GN correction of the
+# intervening steps, typically ~1e-3, moves only the linearization point
+# of brand-new nodes).  Benchmarks accept this under the final-chi2 band
+# guard, like coalesce_full_solves; parity tests run per-step mode.
+#
+# Why: a 32-slot mixed bundle costs 32 serialized slot bodies (~0.7 ms
+# each, op-count-bound — measured profile_mixedcost) plus per-slot h2d;
+# the joint update is ONE gather + ONE MXU-sized QR (~0.8 ms at m=256,
+# measured profile_qr) + ONE sweep, and host planning runs once per
+# bundle instead of per step.
+
+
+def _sup_caps(cfg: SolverConfig) -> Tuple[int, int, int]:
+    """Packed-layout capacities of a superstep plan: (knode, kseed, kfac).
+    Static per config — they key the inc_superstep executables."""
+    S = cfg.superstep_size
+    return S + KNODE, S + KSEED, max(2 * S, cfg.new_factor_capacity)
+
+
+@partial(jax.jit,
+         static_argnames=("MAXAFF", "KNEW", "KNODE_S", "KSEED_S",
+                          "PANEL", "NPANB",
+                          "delta_xy", "delta_theta", "log_chi2"),
+         donate_argnames=("ds",))
+def inc_superstep(ds: DeviceState, packed,
+                  MAXAFF: int, KNEW: int, KNODE_S: int, KSEED_S: int,
+                  PANEL: int, NPANB: int,
+                  delta_xy: float, delta_theta: float, log_chi2: bool):
+    """One joint frontal update over the union affected set of a whole
+    bundle of steps, then one whole-graph sweep (solve_node with pruning
+    disabled, aprilsam.c:721-779) that refreshes every node's state and
+    the relinearization counters."""
+    half = _legacy_half(ds)
+    ds, stats = _fast_body(ds, packed, MAXAFF, MIXED_FR, KNEW,
+                           delta_xy, delta_theta, False, None, half,
+                           KNODE_S, KSEED_S)
+    ds = _global_sweep(ds, PANEL, NPANB, delta_xy, delta_theta)
+    stats = stats.at[1].set(ds.start_over.astype(jnp.float32))
+    if log_chi2:
+        off_i, _ = ints_layout(MAXAFF, MIXED_FR, KNEW, KNODE_S, KSEED_S)
+        live = packed[off_i["scalars"][0]] > 0   # m > 0 (dead = precompile)
+        chi2 = state_chi2(ds)
+        LOG = ds.chi2_log.shape[0]
+        ds = ds._replace(
+            chi2_log=ds.chi2_log.at[
+                jnp.where(live, ds.log_ptr, LOG)].set(chi2, mode="drop"),
+            log_ptr=ds.log_ptr + live.astype(jnp.int32))
+        stats = stats.at[0].set(chi2.astype(jnp.float32))
+    return ds, stats
+
+
 # ======================================================================
 # orchestration
 # ======================================================================
@@ -1254,6 +1347,9 @@ class IncrementalSolver:
         self._due_since_poll = 0
         self._queue: list = []       # planned-but-undispatched bundle slots
         self._queue_sig = None
+        self._sbuf: list = []        # buffered raw steps (superstep mode):
+                                     # (f0, f1, n_old, seeds, graph)
+        self._sbuf_counts = [0, 0, 0, 0]   # nodes, seeds, xyt, pos
         # wall-clock of the previous dispatch: the dispatch-to-dispatch
         # interval divided by bundle size is the deferred-mode estimate of
         # per-step time feeding the batch_time/3 gate (aprilsam.c:557-559)
@@ -1589,6 +1685,9 @@ class IncrementalSolver:
             return BatchInfo(chi2=float(state_chi2(self.ds)), spd=True, n=0)
         self._maybe_grow_capacity(g)
 
+        if self.cfg.superstep_size > 1:
+            return self._update_superstep(g, seeds)
+
         if self.tp is not None:
             self.tp.reset()
         t0 = time.perf_counter()
@@ -1671,6 +1770,112 @@ class IncrementalSolver:
                          step_ms=self._mark_dispatch(1)))
             self._drain_pending(g)
             return None
+
+    # ------------------------------------------------------- supersteps
+
+    def _update_superstep(self, g: FactorGraph,
+                          seeds: Sequence[SeedSpec]) -> None:
+        """Buffer one raw step; dispatch the buffer as ONE joint frontal
+        update when it reaches superstep_size (or would overflow a packed
+        capacity).  See the superstep section above for the algebra."""
+        knode, kseed, kfac = _sup_caps(self.cfg)
+        f0, f1 = self.factor_num, g.nfactors
+        n_old = self.node_num
+        n_new = g.nnodes - n_old
+        nx = int(np.sum(g.ftype[f0:f1] == FACTOR_XYT))
+        npz = (f1 - f0) - nx
+        if n_new > knode or len(seeds) > kseed or nx > kfac or npz > kfac:
+            raise OverflowError("single step exceeds superstep capacities")
+        c = self._sbuf_counts
+        if self._sbuf and (c[0] + n_new > knode or c[1] + len(seeds) > kseed
+                           or c[2] + nx > kfac or c[3] + npz > kfac):
+            self._dispatch_superstep()
+        self._sbuf.append((f0, f1, n_old, list(seeds), g))
+        c = self._sbuf_counts
+        c[0] += n_new
+        c[1] += len(seeds)
+        c[2] += nx
+        c[3] += npz
+        self.factor_num = f1
+        self.node_num = g.nnodes
+        self.steps_done += 1
+        self.last_path = "super"
+        if len(self._sbuf) >= self.cfg.superstep_size:
+            self._dispatch_superstep()
+            if self.tp is not None:
+                self.tp.stamp("dispatch_super")
+        self._drain_pending(g)
+        return None
+
+    def _dispatch_superstep(self):
+        """Plan + dispatch the buffered steps as one joint frontal update on
+        the union affected set; union overflow falls back to a batch epoch
+        (the reference's full-batch branch)."""
+        if not self._sbuf:
+            return
+        entries, self._sbuf = self._sbuf, []
+        self._sbuf_counts = [0, 0, 0, 0]
+        g = entries[-1][4]
+        f0, n_old = entries[0][0], entries[0][2]
+        f1 = entries[-1][1]
+        k = len(entries)
+
+        # Pre-compose within-bundle seed chains host-side so every seed is
+        # a single hop from a node whose device state is current at kernel
+        # entry (pre-bundle node, or a new node ingested un-seeded this
+        # bundle): state[dst] = state[base] o (z_1 o ... o z_j) — exact,
+        # xyt composition is associative.  Last-wins per dst preserved.
+        from ..geometry import np_xyt_inv, np_xyt_mul
+
+        cur = {}
+        for (_a, _b, _c2, ss, _g2) in entries:
+            for s in ss:
+                z_eff = np.asarray(s.z, dtype=np.float64)
+                if s.invert:
+                    z_eff = np_xyt_inv(z_eff)
+                if s.src in cur:
+                    base, zc = cur[s.src]
+                    cur[s.dst] = (base, np_xyt_mul(zc, z_eff))
+                else:
+                    cur[s.dst] = (int(s.src), z_eff)
+        seeds_u = [SeedSpec(src=b, dst=int(d), z=zc, invert=False)
+                   for d, (b, zc) in cur.items()]
+
+        knode, kseed, kfac = _sup_caps(self.cfg)
+        if self.tp is not None:
+            self.tp.reset()
+        try:
+            plan = plan_step(self.sym, self.cfg, g, f0, f1, n_old, seeds_u,
+                             knode=knode, kseed=kseed, kfac=kfac,
+                             buckets=self.cfg.effective_superstep_buckets)
+        except OverflowError:
+            plan = None
+        if self.tp is not None:
+            self.tp.stamp("plan_super")
+        if plan is None:
+            # union exceeds the largest bucket -> batch fallback
+            if not self._ingest_tail_fast(g, seeds_u):
+                self._ingest(g)
+                self._apply_seeds(seeds_u)
+            self._run_batch(g, record_time=True)
+            return
+        self._ingested_nodes = g.nnodes
+        self._ingested_factors = g.nfactors
+        self.last_naffected = plan.naffected
+
+        packed = jnp.asarray(pack_plan(plan, self._device_dtype, None,
+                                       self._legacy_half))
+        npanb = self._npanb(g.nnodes)
+        self.ds, stats = inc_superstep(
+            self.ds, packed,
+            MAXAFF=plan.MAXAFF, KNEW=kfac, KNODE_S=knode, KSEED_S=kseed,
+            PANEL=self.cfg.panel_nodes, NPANB=npanb,
+            delta_xy=float(self.cfg.delta_xy),
+            delta_theta=float(self.cfg.delta_theta),
+            log_chi2=self.cfg.log_chi2)
+        self._pending.append(
+            _Pending(self.steps_done - 1, stats, self._batch_serial,
+                     step_ms=self._mark_dispatch(k)))
 
     # ------------------------------------------------------- dispatching
 
@@ -1824,7 +2029,11 @@ class IncrementalSolver:
 
     def _dispatch_queue(self):
         """Dispatch the queued plans as one bundled scan (padding dead
-        slots); push per-step stats into the pending policy queue."""
+        slots); push per-step stats into the pending policy queue.  Also
+        flushes the superstep buffer (callers use this as "make device
+        state reflect every logical step")."""
+        if self._sbuf:
+            self._dispatch_superstep()
         if not self._queue:
             return
         sig = self._queue_sig
@@ -1930,6 +2139,20 @@ class IncrementalSolver:
         # not be a power of two: append the terminal steady-state count
         # explicitly so the doubling loop can never miss it
         npanbs.append(npanb_max)
+        if self.cfg.superstep_size > 1:
+            # superstep mode: one executable per (union bucket, panel
+            # count); a bucket is reachable at a panel count only if some
+            # m <= npanb*PANEL lands in it (m never exceeds the active
+            # node count the panels cover)
+            sigs = []
+            buckets = self.cfg.effective_superstep_buckets
+            for npanb in npanbs:
+                lim = npanb * self.cfg.panel_nodes
+                for j, b in enumerate(buckets):
+                    prev = buckets[j - 1] if j else 0
+                    if prev < lim:
+                        sigs.append(("sup", b, npanb))
+            return tuple(sigs)
         sigs = [("fast", self.cfg.frontal_buckets[0], fr)]
         if self.cfg.mixed_bundles and self.cfg.bundle_size > 1:
             # mixed mode: one ragged executable per active-panel count
@@ -1964,6 +2187,28 @@ class IncrementalSolver:
         B = max(1, self.cfg.bundle_size)
         count = 0
         for sig in signatures:
+            if sig[0] == "sup":
+                knode, kseed, kfac = _sup_caps(self.cfg)
+                MAXAFF, npanb = sig[1], sig[2]
+                _, LI = I.ints_layout(MAXAFF, MIXED_FR, kfac, knode, kseed)
+                _, LF = I.floats_layout(kfac, knode, kseed)
+                plan = StepPlan(
+                    m=0, naffected=0, MAXAFF=MAXAFF, MAXFR=MIXED_FR,
+                    fringe_overflow=False,
+                    ints=np.zeros(LI, dtype=np.int32),
+                    floats=np.zeros(LF, dtype=np.float64),
+                    ridx=np.full((MAXAFF, BCAP), NCAP, dtype=np.int32))
+                packed = jnp.asarray(pack_plan(
+                    plan, self._device_dtype, None, self._legacy_half))
+                self.ds, _stats = inc_superstep(
+                    self.ds, packed,
+                    MAXAFF=MAXAFF, KNEW=kfac, KNODE_S=knode, KSEED_S=kseed,
+                    PANEL=self.cfg.panel_nodes, NPANB=npanb,
+                    delta_xy=float(self.cfg.delta_xy),
+                    delta_theta=float(self.cfg.delta_theta),
+                    log_chi2=self.cfg.log_chi2)
+                count += 1
+                continue
             if sig[0] == "mixed":
                 # compile BOTH flat buckets for this panel count (the big
                 # one otherwise compiles lazily mid-run on the first
