@@ -86,7 +86,7 @@ def _load():
             _i32, ctypes.c_int32,
             _i32, _i32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
-            _i32, _i32, _i32, _i32,
+            _i32, _i32, _i32, _i32, _i32, _i32,
         ]
         _lib = lib
         return _lib
@@ -150,10 +150,11 @@ def batch_solve(n, states, fa, fb, fz, fW, pn, pz, pW, order, bcap,
 def plan_step_native(nn, ncap, bcap, parents, pat_idx, pat_nnz, mark, token,
                      kid_head, kid_next, kid_prev,
                      touched, ea, eb, maxaff, fr_cap, F_out, fringe_out,
-                     m_out, nfr_out) -> int:
+                     m_out, nfr_out, old_idx_out, old_nnz_out) -> int:
     """In-place incremental-step symbolic planning (see asn_plan_step).
     kid_head/next/prev are the maintained child lists of the parent array
-    (windowed fringe scan).
+    (windowed fringe scan).  old_idx_out/old_nnz_out [maxaff(,bcap)] receive
+    the PRE-merge patterns of the affected rows (device-resident mirror).
 
     Returns the C return code: 0 ok, 1 affected-overflow (no mutation),
     2 bcap overflow, 3 invariant violation."""
@@ -162,4 +163,5 @@ def plan_step_native(nn, ncap, bcap, parents, pat_idx, pat_nnz, mark, token,
         nn, ncap, bcap, parents, pat_idx.reshape(-1), pat_nnz, mark, token,
         kid_head, kid_next, kid_prev,
         touched, len(touched), ea, eb, len(ea),
-        maxaff, fr_cap, F_out, m_out, fringe_out, nfr_out)
+        maxaff, fr_cap, F_out, m_out, fringe_out, nfr_out,
+        old_idx_out.reshape(-1), old_nnz_out)

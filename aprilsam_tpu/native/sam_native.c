@@ -651,7 +651,8 @@ int asn_plan_step(int32_t nn, int32_t ncap, int32_t bcap,
                   int32_t ne,
                   int32_t maxaff, int32_t fr_cap,
                   int32_t *RESTRICT F_out, int32_t *RESTRICT m_out,
-                  int32_t *RESTRICT fringe_out, int32_t *RESTRICT nfr_out)
+                  int32_t *RESTRICT fringe_out, int32_t *RESTRICT nfr_out,
+                  int32_t *RESTRICT old_idx_out, int32_t *RESTRICT old_nnz_out)
 {
     (void)nn;
     int32_t token = ++token_io[0];
@@ -677,6 +678,16 @@ int asn_plan_step(int32_t nn, int32_t ncap, int32_t bcap,
         int j = i - 1;
         while (j >= 0 && F_out[j] > v) { F_out[j + 1] = F_out[j]; j--; }
         F_out[j + 1] = v;
+    }
+
+    /* snapshot the PRE-merge patterns of the affected rows (they mirror the
+     * device-resident R_idx): the superstep planner builds its front gather
+     * table from these (slot of each resident column in the front) */
+    for (int i = 0; i < m; i++) {
+        int32_t p = F_out[i];
+        memcpy(old_idx_out + (size_t)i * bcap, pat_idx + (size_t)p * bcap,
+               sizeof(int32_t) * bcap);
+        old_nnz_out[i] = pat_nnz[p];
     }
 
     /* 2. merge the new factor block edges into the affected rows */

@@ -288,7 +288,11 @@ def run_batch_epoch(
 
     if native.available():
         # native C symbolic phase (the python ordering costs ~seconds at
-        # 3500 nodes; the C one ~10 ms) — numeric stays on device
+        # 3500 nodes; the C one ~10 ms) — numeric stays on device.  All
+        # per-row work is vectorized on the padded arrays the C code
+        # already returns: the former per-row python loops (pattern list
+        # copies, padded re-pack, extraction-map concat) cost ~150 ms per
+        # epoch at M3500 scale, 3x the device work they fed.
         from .host_batch import _adjacency_csr
 
         adj_ptr, adj_idx = _adjacency_csr(nnodes, ftypes, fnodes)
@@ -299,29 +303,44 @@ def run_batch_epoch(
         pos[order] = np.arange(nnodes, dtype=np.int32)
         sym = SymbolicState(
             order=order, pos=pos,
-            patterns=[patterns[p, : nnz[p]].copy() for p in range(nnodes)],
+            patterns=[],                  # materialized lazily on demand
             parents=parents.copy(),
         )
-        sym.rebuild_children()
+        valid = np.arange(BCAP, dtype=np.int32)[None, :] < nnz[:, None]
+        # hand the padded planner mirror straight to the incremental layer
+        # (sym_patterns_list materializes the python list only if asked)
+        sym.pad_idx = np.full((NCAP, BCAP), NCAP, dtype=np.int32)
+        sym.pad_idx[:nnodes][valid] = patterns[valid]
+        sym.pad_nnz = np.zeros(NCAP, dtype=np.int32)
+        sym.pad_nnz[:nnodes] = nnz
+        sym.patterns_stale = True
+
+        R_idx_np = sym.pad_idx
+        R_nnz_np = sym.pad_nnz
+        ext_p, ext_slot = np.nonzero(valid)
+        ext_p = ext_p.astype(np.int32)
+        ext_slot = ext_slot.astype(np.int32)
+        ext_c = patterns[valid].astype(np.int32)
     else:
         adj = sym_mod.build_adjacency(nnodes, ftypes, fnodes)
         order = sym_mod.min_degree_ordering(nnodes, adj)
         sym = sym_mod.build_symbolic(nnodes, adj, order)
 
-    R_idx_np, R_nnz_np = sym_mod.padded_pattern_arrays(sym, NCAP, BCAP, NCAP)
+        R_idx_np, R_nnz_np = sym_mod.padded_pattern_arrays(
+            sym, NCAP, BCAP, NCAP)
 
-    # flat extraction map over all pattern entries
-    ps, slots, cs = [], [], []
-    for p, pat in enumerate(sym.patterns):
-        ps.append(np.full(len(pat), p, dtype=np.int32))
-        slots.append(np.arange(len(pat), dtype=np.int32))
-        cs.append(pat)
-    if ps:
-        ext_p = np.concatenate(ps)
-        ext_slot = np.concatenate(slots)
-        ext_c = np.concatenate(cs)
-    else:
-        ext_p = ext_slot = ext_c = np.zeros(0, dtype=np.int32)
+        # flat extraction map over all pattern entries
+        ps, slots, cs = [], [], []
+        for p, pat in enumerate(sym.patterns):
+            ps.append(np.full(len(pat), p, dtype=np.int32))
+            slots.append(np.arange(len(pat), dtype=np.int32))
+            cs.append(pat)
+        if ps:
+            ext_p = np.concatenate(ps)
+            ext_slot = np.concatenate(slots)
+            ext_c = np.concatenate(cs)
+        else:
+            ext_p = ext_slot = ext_c = np.zeros(0, dtype=np.int32)
     K = ext_p.shape[0]
     # KEXT rides with the node bucket (mean R-row nnz is ~6.5 on SLAM
     # graphs, so 8*MB covers it) — one (MB, KEXT) specialization per node

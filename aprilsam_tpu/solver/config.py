@@ -80,15 +80,18 @@ class SolverConfig:
     # Replaces mixed bundles entirely when > 1: one dispatch, one h2d
     # payload, and one host planning pass per bundle instead of per step.
     superstep_size: int = 1
-    # Affected-set buckets for the union front (None = frontal_buckets).
-    # Unions exceeding the largest bucket trigger the batch fallback.
+    # Affected-set buckets for the union front (None = a finer ladder than
+    # frontal_buckets: M3500 unions of 32 steps average m~152 and max ~343,
+    # so intermediate buckets keep the joint QR and the front tables sized
+    # to the work).  Unions exceeding the largest bucket trigger the batch
+    # fallback.
     superstep_buckets: tuple = None
 
     @property
     def effective_superstep_buckets(self) -> tuple:
         if self.superstep_buckets is not None:
             return self.superstep_buckets
-        return self.frontal_buckets
+        return (64, 128, 256, 384, 1024)
 
     # Pattern-row columns packed per affected row in bundle uploads (rows
     # are padded back to row_block_capacity with sentinels on device).

@@ -122,6 +122,14 @@ class StepPlan:
                           # latency-bound and ~50 MB/s when saturated)
     max_rnnz: int = 0     # max nonzeros over the new pattern rows (mixed-
                           # bundle eligibility: rows must fit RCAP columns)
+    inv: Optional[np.ndarray] = None   # [MAXAFF, MAXAFF] int8: slot of front
+                          # column c in row r's RESIDENT pattern (sentinel
+                          # BCAP).  Superstep plans upload this so the front
+                          # gather is a take_along_axis instead of a one-hot
+                          # einsum whose [M, BCAP, M] operand costs ~400 MB
+                          # of HBM traffic at the 1024 bucket.
+    scat: Optional[np.ndarray] = None  # [MAXAFF, BCAP] int16: front slot of
+                          # each NEW-pattern column (sentinel MAXAFF)
 
 
 def _bucket(n: int, buckets) -> Optional[int]:
@@ -186,7 +194,8 @@ def half_ridx(NCAP: int, RCAP: int) -> bool:
 
 def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype,
                   RCAP: Optional[int] = None, half: bool = False,
-                  knode: int = KNODE, kseed: int = KSEED):
+                  knode: int = KNODE, kseed: int = KSEED,
+                  with_tables: bool = False):
     """Static segment offsets of the single packed int32 plan vector.
 
     Every per-step input (control ints, measurement floats as raw bits, the
@@ -213,7 +222,16 @@ def packed_layout(MAXAFF: int, MAXFR: int, K: int, BCAP: int, dtype,
         "floats": (LI, LI + LFW),
         "ridx": (LI + LFW, LI + LFW + LM),
     }
-    return seg, LI + LFW + LM
+    o = LI + LFW + LM
+    if with_tables:
+        # int8 inv [M, M] and int16 scat [M, BCAP], packed into int32 words
+        # (M is a bucket multiple of 4; BCAP is even)
+        LV = MAXAFF * MAXAFF // 4
+        LS = MAXAFF * BCAP // 2
+        seg["inv"] = (o, o + LV)
+        seg["scat"] = (o + LV, o + LV + LS)
+        o += LV + LS
+    return seg, o
 
 
 def pack_plan(plan: "StepPlan", dtype, RCAP: Optional[int] = None,
@@ -229,17 +247,24 @@ def pack_plan(plan: "StepPlan", dtype, RCAP: Optional[int] = None,
         # (int32 -> [2]int16 indexes the low half first), same convention
         # the float64 payload packing already relies on
         ridx = ridx.astype(np.int16).reshape(-1).view(np.int32)
-    return np.concatenate([plan.ints, fbits, ridx.ravel()])
+    parts = [plan.ints, fbits, ridx.ravel()]
+    if plan.inv is not None:
+        parts.append(np.ascontiguousarray(
+            plan.inv, dtype=np.int8).reshape(-1).view(np.int32))
+        parts.append(np.ascontiguousarray(
+            plan.scat, dtype=np.int16).reshape(-1).view(np.int32))
+    return np.concatenate(parts)
 
 
 def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype,
                  RCAP: Optional[int] = None, half: bool = False,
-                 knode: int = KNODE, kseed: int = KSEED):
+                 knode: int = KNODE, kseed: int = KSEED,
+                 with_tables: bool = False):
     if RCAP is None:
         RCAP = BCAP
     _, LF = floats_layout(K, knode, kseed)
     seg, L = packed_layout(MAXAFF, MAXFR, K, BCAP, dtype, RCAP, half,
-                           knode, kseed)
+                           knode, kseed, with_tables)
     ints = packed[seg["ints"][0]:seg["ints"][1]]
     fw = packed[seg["floats"][0]:seg["floats"][1]]
     if np.dtype(dtype) == np.float64:
@@ -253,7 +278,15 @@ def _unpack_plan(packed, MAXAFF, MAXFR, K, BCAP, dtype,
             jnp.int32).reshape(MAXAFF, RCAP)
     else:
         ridx = rw.reshape(MAXAFF, RCAP)
-    return ints, floats, ridx
+    inv = scat = None
+    if with_tables:
+        vw = packed[seg["inv"][0]:seg["inv"][1]]
+        inv = jax.lax.bitcast_convert_type(vw, jnp.int8).astype(
+            jnp.int32).reshape(MAXAFF, MAXAFF)
+        sw = packed[seg["scat"][0]:seg["scat"][1]]
+        scat = jax.lax.bitcast_convert_type(sw, jnp.int16).astype(
+            jnp.int32).reshape(MAXAFF, BCAP)
+    return ints, floats, ridx, inv, scat
 
 
 def _ensure_native_sym(sym: SymbolicState, NCAP: int, BCAP: int) -> bool:
@@ -268,11 +301,14 @@ def _ensure_native_sym(sym: SymbolicState, NCAP: int, BCAP: int) -> bool:
         idx, nnz = sym_mod.padded_pattern_arrays(sym, NCAP, BCAP, NCAP)
         sym.pad_idx = idx
         sym.pad_nnz = nnz
+        sym.patterns_stale = False
+    if getattr(sym, "mark", None) is None or sym.mark.shape[0] != NCAP:
+        # planner scratch + child lists over the parent array (windowed
+        # fringe scan): the C planner maintains them O(1) per reparenting;
+        # rebuild per epoch.  Separate from the pad build because the
+        # device-backend epoch hands pads over directly.
         sym.mark = np.zeros(NCAP, dtype=np.int32)
         sym.token = np.zeros(1, dtype=np.int32)
-        sym.patterns_stale = False
-        # child lists over the parent array (windowed fringe scan): the C
-        # planner maintains them O(1) per reparenting; rebuild per epoch
         kid_head = np.full(NCAP, -1, dtype=np.int32)
         kid_next = np.full(NCAP, -1, dtype=np.int32)
         kid_prev = np.full(NCAP, -1, dtype=np.int32)
@@ -312,6 +348,7 @@ def plan_step(
     kseed: int = KSEED,
     kfac: Optional[int] = None,
     buckets: Optional[tuple] = None,
+    with_tables: bool = False,
 ) -> Optional[StepPlan]:
     """Host symbolic work for one incremental step.  Returns None when the
     affected set exceeds the largest frontal bucket (caller falls back to a
@@ -374,12 +411,14 @@ def plan_step(
         fringe = np.empty(FRCAP, dtype=np.int32)
         mbuf = np.zeros(1, dtype=np.int32)
         nfrbuf = np.zeros(1, dtype=np.int32)
+        old_idx = np.empty((MAXCAP, BCAP), dtype=np.int32)
+        old_nnz = np.empty(MAXCAP, dtype=np.int32)
         rc = native.plan_step_native(
             nn, NCAP, BCAP, sym.parents, sym.pad_idx, sym.pad_nnz,
             sym.mark, sym.token,
             sym.kid_head, sym.kid_next, sym.kid_prev, touched_pos,
             np.ascontiguousarray(ea_pos), np.ascontiguousarray(eb_pos),
-            MAXCAP, FRCAP, F, fringe, mbuf, nfrbuf)
+            MAXCAP, FRCAP, F, fringe, mbuf, nfrbuf, old_idx, old_nnz)
         if rc == 1:
             return None                       # affected set > largest bucket
         if rc == 2:
@@ -407,6 +446,8 @@ def plan_step(
             fringe = fringe[:nfr]
         new_rows = sym.pad_idx[F]
         new_nnz = sym.pad_nnz[F]
+        old_idx = old_idx[:m]
+        old_nnz = old_nnz[:m]
     else:
         # 2. mark affected (walk to root with OLD parents; new nodes isolated)
         touched = []
@@ -431,6 +472,15 @@ def plan_step(
         #    frontal slot maps themselves are derived ON DEVICE from F_pos +
         #    R_idx (which mirrors sym.patterns) + the uploaded new rows —
         #    nothing to build here.
+        # snapshot pre-merge (device-resident mirror) patterns for the
+        # gather-table build; update_patterns_incremental replaces the row
+        # arrays rather than mutating them, so references suffice
+        old_pats = [sym.patterns[int(p)] for p in F]
+        old_idx = np.full((m, BCAP), NCAP, dtype=np.int32)
+        old_nnz = np.zeros(m, dtype=np.int32)
+        for i, pat in enumerate(old_pats):
+            old_idx[i, : len(pat)] = pat
+            old_nnz[i] = len(pat)
         edges = [(int(g.fnodes[f][0]), int(g.fnodes[f][1]))
                  for f in range(f0, f1)]
         sym_mod.update_patterns_incremental(sym, F, edges)
@@ -528,12 +578,36 @@ def plan_step(
         out[: len(a)] = a
         return out
 
+    inv_t = scat_t = None
+    if with_tables:
+        # front-local gather/scatter tables (see StepPlan docstring): every
+        # resident and new pattern column of an affected row is an etree
+        # ancestor of that row, hence inside the ancestor-closed F
+        pos2f_h = np.full(NCAP + 1, -1, dtype=np.int32)
+        pos2f_h[F] = np.arange(m, dtype=np.int32)
+        inv_t = np.full((MAXAFF, MAXAFF), BCAP, dtype=np.int8)
+        scat_t = np.full((MAXAFF, BCAP), MAXAFF, dtype=np.int16)
+        if m:
+            bmask = np.arange(BCAP)[None, :] < old_nnz[:, None]
+            ii, bb = np.nonzero(bmask)
+            ss = pos2f_h[old_idx[ii, bb]]
+            if len(ss) and ss.min() < 0:
+                raise RuntimeError("resident pattern column outside front")
+            inv_t[ii, ss] = bb
+            bmask2 = np.arange(BCAP)[None, :] < new_nnz[:, None]
+            ii2, bb2 = np.nonzero(bmask2)
+            ss2 = pos2f_h[new_rows[ii2, bb2]]
+            if len(ss2) and ss2.min() < 0:
+                raise RuntimeError("new pattern column outside front")
+            scat_t[ii2, bb2] = ss2
+
     return StepPlan(
         m=m, naffected=naffected, MAXAFF=MAXAFF, MAXFR=MAXFR,
         fringe_overflow=fringe_overflow,
         ints=ints, floats=flts,
         ridx=pad2(new_rows, MAXAFF, NCAP),
         max_rnnz=int(new_nnz.max()) if len(new_nnz) else 0,
+        inv=inv_t, scat=scat_t,
     )
 
 
@@ -547,7 +621,8 @@ def _unpack(vec, off, name, shape=None):
     return seg if shape is None else seg.reshape(shape)
 
 
-def _frontal_core(ds, ints, floats, new_Ridx, off_i, off_f, MAXAFF, KNEW):
+def _frontal_core(ds, ints, floats, new_Ridx, off_i, off_f, MAXAFF, KNEW,
+                  inv=None, scat=None):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     FCAP = ds.xyt_a.shape[0]
@@ -643,14 +718,23 @@ def _frontal_core(ds, ints, floats, new_Ridx, off_i, off_f, MAXAFF, KNEW):
     slot1 = (jnp.arange(M, dtype=dtype) + 1.0)
     pos2f = jnp.einsum("mn,m->n", oh_pos, slot1).astype(jnp.int32) - 1
 
-    old_rows_idx = ds.R_idx[jnp.clip(F_pos, 0, NCAP - 1)]   # [M, BCAP]
-    gather_fc = pos2f[jnp.clip(old_rows_idx, 0, NCAP)]
-    scat_fc = pos2f[jnp.clip(new_Ridx, 0, NCAP)]
-
     rows = ds.R_blocks[jnp.clip(F_pos, 0, NCAP - 1)]
-    oh_g = jax.nn.one_hot(jnp.clip(gather_fc, 0, M), M, dtype=dtype)
-    oh_g = oh_g * ((gather_fc >= 0) & row_valid[:, None])[..., None]
-    RF = jnp.einsum("rbij,rbc->rcij", rows, oh_g)          # [M, M, 3, 3]
+    if inv is not None:
+        # host-built gather table: RF[r, c] = rows[r, inv[r, c]] with a
+        # zero block at the BCAP sentinel — a windowed gather instead of a
+        # one-hot [M, BCAP, M] einsum operand (~400 MB HBM traffic at the
+        # 1024 bucket)
+        rows_p = jnp.concatenate(
+            [rows, jnp.zeros((M, 1, 3, 3), dtype=dtype)], axis=1)
+        RF = jnp.take_along_axis(
+            rows_p, jnp.clip(inv, 0, BCAP)[:, :, None, None], axis=1)
+        RF = RF * row_valid[:, None, None, None]
+    else:
+        old_rows_idx = ds.R_idx[jnp.clip(F_pos, 0, NCAP - 1)]   # [M, BCAP]
+        gather_fc = pos2f[jnp.clip(old_rows_idx, 0, NCAP)]
+        oh_g = jax.nn.one_hot(jnp.clip(gather_fc, 0, M), M, dtype=dtype)
+        oh_g = oh_g * ((gather_fc >= 0) & row_valid[:, None])[..., None]
+        RF = jnp.einsum("rbij,rbc->rcij", rows, oh_g)       # [M, M, 3, 3]
     R_dense = RF.transpose(0, 2, 1, 3).reshape(K3, K3)
     R_dense = R_dense + jnp.where(scalar_valid, 0.0, 1.0) * jnp.eye(
         K3, dtype=dtype)
@@ -720,12 +804,20 @@ def _frontal_core(ds, ints, floats, new_Ridx, off_i, off_f, MAXAFF, KNEW):
     dest_rows = jnp.where(row_valid, F_pos, NCAP)
     y_out = ds.y.at[dest_rows].set(y_new.reshape(M, 3), mode="drop")
 
-    # ---------------- scatter R' back on the NEW pattern (one-hot gather of
-    # the frontal columns per slot, then ONE row-level scatter)
+    # ---------------- scatter R' back on the NEW pattern: a windowed gather
+    # from the front (newblocks[r, b] = Rt[r, slot of new_Ridx[r, b]]) —
+    # gathers vectorize on TPU where the former one-hot einsum materialized
+    # an [M, BCAP, M] operand
     Rt = R_up.reshape(M, 3, M, 3).transpose(0, 2, 1, 3)   # [M, M, 3, 3]
-    oh_s = jax.nn.one_hot(jnp.clip(scat_fc, 0, M), M, dtype=dtype)
-    oh_s = oh_s * (scat_fc >= 0)[..., None]               # [M, BCAP, M]
-    newblocks = jnp.einsum("rcij,rbc->rbij", Rt, oh_s)    # [M, BCAP, 3, 3]
+    if scat is not None:
+        scat_idx = scat                                   # sentinel = M
+    else:
+        scat_fc = pos2f[jnp.clip(new_Ridx, 0, NCAP)]
+        scat_idx = jnp.where(scat_fc >= 0, scat_fc, M)
+    Rt_p = jnp.concatenate(
+        [Rt, jnp.zeros((M, 1, 3, 3), dtype=dtype)], axis=1)
+    newblocks = jnp.take_along_axis(
+        Rt_p, jnp.clip(scat_idx, 0, M)[:, :, None, None], axis=1)
     R_blocks = ds.R_blocks.at[dest_rows].set(newblocks, mode="drop")
     R_idx = ds.R_idx.at[dest_rows].set(new_Ridx, mode="drop")
     R_nnz = ds.R_nnz.at[dest_rows].set(new_Rnnz, mode="drop")
@@ -766,21 +858,23 @@ def _fast_body(ds: DeviceState, packed,
                MAXAFF: int, MAXFR: int, KNEW: int,
                delta_xy: float, delta_theta: float, log_chi2: bool,
                RCAP: Optional[int] = None, half: bool = False,
-               knode: int = KNODE, kseed: int = KSEED):
+               knode: int = KNODE, kseed: int = KSEED,
+               with_tables: bool = False):
     NCAP = ds.state.shape[0]
     BCAP = ds.R_idx.shape[1]
     dtype = ds.R_blocks.dtype
     M = MAXAFF
     off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW, knode, kseed)
     off_f, _ = floats_layout(KNEW, knode, kseed)
-    ints, floats, ridx = _unpack_plan(
-        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP, half, knode, kseed)
+    ints, floats, ridx, inv, scat = _unpack_plan(
+        packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP, half, knode, kseed,
+        with_tables)
     if ridx.shape[1] < BCAP:
         ridx = jnp.pad(ridx, ((0, 0), (0, BCAP - ridx.shape[1])),
                        constant_values=NCAP)
 
     ds, R_up, y_new, row_valid, scalar_valid, spd, pos2f = _frontal_core(
-        ds, ints, floats, ridx, off_i, off_f, MAXAFF, KNEW)
+        ds, ints, floats, ridx, off_i, off_f, MAXAFF, KNEW, inv, scat)
 
     # back-substitution restricted to F (exact: F is ancestor-closed)
     x_F = jax.scipy.linalg.solve_triangular(R_up, y_new, lower=False)
@@ -850,20 +944,23 @@ def _fast_body(ds: DeviceState, packed,
     return _finish(ds, chi2, start_over, spd, live, log_chi2)
 
 
-@partial(jax.jit, static_argnames=("KNEW",), donate_argnames=("ds",))
-def inc_ingest_tail(ds: DeviceState, packed, KNEW: int):
+@partial(jax.jit, static_argnames=("KNEW", "knode", "kseed"),
+         donate_argnames=("ds",))
+def inc_ingest_tail(ds: DeviceState, packed, KNEW: int,
+                    knode: int = KNODE, kseed: int = KSEED):
     """Ingestion-only step: new nodes + odometry seeding + factor-table
     appends, no frontal work.  Serves the plan-overflow batch-fallback path
     (aprilsam.c's full-batch branch), which previously ran these appends as
     eager ops — through the relay each eager op's first compile costs
     ~0.4 s, and reading the table counts stalled the pipeline.  Layout: the
-    MAXAFF=0/MAXFR=0 prefix of the standard packed plan."""
+    MAXAFF=0/MAXFR=0 prefix of the standard packed plan.  Superstep
+    overflow fallbacks pass bundle-sized knode/kseed capacities."""
     NCAP = ds.state.shape[0]
     FCAP = ds.xyt_a.shape[0]
     FPOS = ds.pos_node.shape[0]
     dtype = ds.R_blocks.dtype
-    off_i, LI = ints_layout(0, 0, KNEW)
-    _, LF = floats_layout(KNEW)
+    off_i, LI = ints_layout(0, 0, KNEW, knode, kseed)
+    _, LF = floats_layout(KNEW, knode, kseed)
     ints = packed[:LI]
     fw = packed[LI:]
     if np.dtype(dtype) == np.float64:
@@ -875,11 +972,11 @@ def inc_ingest_tail(ds: DeviceState, packed, KNEW: int):
     sc = _unpack(ints, off_i, "scalars")
     n_new_xyt, n_new_pos, n_nodes, n_seeds = sc[1], sc[2], sc[4], sc[5]
 
+    off_f = floats_layout(KNEW, knode, kseed)[0]
     node_ids = _unpack(ints, off_i, "node_ids")
-    node_states = _unpack(floats, floats_layout(KNEW)[0], "node_states",
-                          (KNODE, 3)).astype(dtype)
-    off_f = floats_layout(KNEW)[0]
-    nv = jnp.arange(KNODE, dtype=jnp.int32) < n_nodes
+    node_states = _unpack(floats, off_f, "node_states",
+                          (knode, 3)).astype(dtype)
+    nv = jnp.arange(knode, dtype=jnp.int32) < n_nodes
     dst_nodes = jnp.where(nv, node_ids, NCAP)
     state = ds.state.at[dst_nodes].set(node_states, mode="drop")
     l_point = ds.l_point.at[dst_nodes].set(node_states, mode="drop")
@@ -888,8 +985,8 @@ def inc_ingest_tail(ds: DeviceState, packed, KNEW: int):
     seed_src = _unpack(ints, off_i, "seed_src")
     seed_dst = _unpack(ints, off_i, "seed_dst")
     seed_inv = _unpack(ints, off_i, "seed_inv")
-    seed_z = _unpack(floats, off_f, "seed_z", (KSEED, 3)).astype(dtype)
-    sv = jnp.arange(KSEED, dtype=jnp.int32) < n_seeds
+    seed_z = _unpack(floats, off_f, "seed_z", (kseed, 3)).astype(dtype)
+    sv = jnp.arange(kseed, dtype=jnp.int32) < n_seeds
     src_states = state[jnp.clip(seed_src, 0, NCAP - 1)]
     z_eff = jnp.where((seed_inv > 0)[:, None],
                       jax.vmap(xyt_inv)(seed_z), seed_z)
@@ -988,6 +1085,11 @@ def _global_sweep(ds: DeviceState, PANEL: int, NPANB: int,
     act_rows = ds.R_blocks[: NPANB * PANEL].reshape(NPANB, PANEL, BCAP, 3, 3)
     act_idx = ds.R_idx[: NPANB * PANEL].reshape(NPANB, PANEL, BCAP)
     p0s = (jnp.arange(NPANB, dtype=jnp.int32) * PANEL)[:, None, None]
+    # T[n, p, c] = the row's block at column p0+c, via one-hot MXU einsum.
+    # (A vectorized binary-search + take_along_axis variant was measured
+    # 3-4x SLOWER on the v5e despite materializing an [NPANB, PANEL, BCAP,
+    # PANEL] one-hot — batched dynamic gathers lower poorly where the MXU
+    # eats the one-hot contraction.)
     loc = act_idx - p0s
     inpan = (loc >= 0) & (loc < PANEL)
     oh = jax.nn.one_hot(jnp.where(inpan, loc, 0), PANEL,
@@ -1056,7 +1158,7 @@ def _full_body(ds: DeviceState, packed,
     dtype = ds.R_blocks.dtype
     off_i, _ = ints_layout(MAXAFF, MAXFR, KNEW)
     off_f, _ = floats_layout(KNEW)
-    ints, floats, ridx = _unpack_plan(
+    ints, floats, ridx, _inv, _scat = _unpack_plan(
         packed, MAXAFF, MAXFR, KNEW, BCAP, dtype, RCAP, half)
     if ridx.shape[1] < BCAP:
         ridx = jnp.pad(ridx, ((0, 0), (0, BCAP - ridx.shape[1])),
@@ -1289,7 +1391,7 @@ def inc_superstep(ds: DeviceState, packed,
     half = _legacy_half(ds)
     ds, stats = _fast_body(ds, packed, MAXAFF, MIXED_FR, KNEW,
                            delta_xy, delta_theta, False, None, half,
-                           KNODE_S, KSEED_S)
+                           KNODE_S, KSEED_S, with_tables=True)
     ds = _global_sweep(ds, PANEL, NPANB, delta_xy, delta_theta)
     stats = stats.at[1].set(ds.start_over.astype(jnp.float32))
     if log_chi2:
@@ -1342,6 +1444,10 @@ class IncrementalSolver:
         self.last_path = "none"
         self.last_naffected = 0
         self.steps_done = 0
+        # structured step metrics (SURVEY §5 observability): dispatch/path
+        # counts plus the union-front size histogram in superstep mode
+        self.counters = {"superstep": 0, "sup_overflow": 0, "batch": 0,
+                         "sup_m_max": 0, "sup_m_sum": 0}
         self._batch_serial = 0
         self._pending: deque = deque()
         self._due_since_poll = 0
@@ -1383,19 +1489,27 @@ class IncrementalSolver:
         self.ds = self.ds._replace(state=state, l_point=l_point)
 
     def _ingest_tail_fast(self, g: FactorGraph,
-                          seeds: Sequence[SeedSpec]) -> bool:
+                          seeds: Sequence[SeedSpec],
+                          caps: Optional[Tuple[int, int, int]] = None) -> bool:
         """Jitted tail ingestion + seeding for the plan-overflow batch path.
-        Returns False when the tail exceeds the per-step packing capacities
-        (caller then uses the generic eager ingest)."""
-        K = self.cfg.new_factor_capacity
+        Returns False when the tail exceeds the packing capacities (caller
+        then uses the generic eager ingest).  `caps` = (knode, kseed, kfac);
+        None = the per-step layout.  Seed srcs must not themselves be seed
+        dsts (superstep fallbacks pass pre-composed chains; srcs that are
+        new-but-unseeded nodes are fine — ingestion precedes seeding)."""
+        if caps is None:
+            knode, kseed, K = KNODE, KSEED, self.cfg.new_factor_capacity
+        else:
+            knode, kseed, K = caps
         n0, f0 = self._ingested_nodes, self._ingested_factors
         new_ids = list(range(n0, g.nnodes))
         by_dst = {}
         for s in seeds:
             by_dst[s.dst] = s
         seeds = list(by_dst.values())
-        if (len(new_ids) > KNODE or len(seeds) > KSEED
-                or any(s.src >= n0 for s in seeds)):
+        dsts = {s.dst for s in seeds}
+        if (len(new_ids) > knode or len(seeds) > kseed
+                or any(s.src in dsts for s in seeds)):
             return False
         nf_a, nf_b, nf_z, nf_W = [], [], [], []
         np_n, np_z, np_W = [], [], []
@@ -1413,8 +1527,8 @@ class IncrementalSolver:
         if len(nf_a) > K or len(np_n) > K:
             return False
 
-        off_i, len_i = ints_layout(0, 0, K)
-        off_f, len_f = floats_layout(K)
+        off_i, len_i = ints_layout(0, 0, K, knode, kseed)
+        off_f, len_f = floats_layout(K, knode, kseed)
         ints = np.zeros(len_i, dtype=np.int32)
         flts = np.zeros(len_f, dtype=np.float64)
 
@@ -1453,7 +1567,8 @@ class IncrementalSolver:
         fbits = np.ascontiguousarray(
             flts.astype(self._device_dtype)).view(np.int32)
         packed = jnp.asarray(np.concatenate([ints, fbits]))
-        self.ds = inc_ingest_tail(self.ds, packed, KNEW=K)
+        self.ds = inc_ingest_tail(self.ds, packed, KNEW=K,
+                                  knode=knode, kseed=kseed)
         self._ingested_nodes = g.nnodes
         self._ingested_factors = g.nfactors
         return True
@@ -1586,6 +1701,7 @@ class IncrementalSolver:
         self.node_num = g.nnodes
         self.last_path = "batch"
         self._batch_serial += 1
+        self.counters["batch"] += 1
         return info
 
     def solve(self, g: FactorGraph) -> BatchInfo:
@@ -1847,14 +1963,17 @@ class IncrementalSolver:
         try:
             plan = plan_step(self.sym, self.cfg, g, f0, f1, n_old, seeds_u,
                              knode=knode, kseed=kseed, kfac=kfac,
-                             buckets=self.cfg.effective_superstep_buckets)
+                             buckets=self.cfg.effective_superstep_buckets,
+                             with_tables=True)
         except OverflowError:
             plan = None
         if self.tp is not None:
             self.tp.stamp("plan_super")
         if plan is None:
             # union exceeds the largest bucket -> batch fallback
-            if not self._ingest_tail_fast(g, seeds_u):
+            self.counters["sup_overflow"] += 1
+            if not self._ingest_tail_fast(g, seeds_u,
+                                          caps=(knode, kseed, kfac)):
                 self._ingest(g)
                 self._apply_seeds(seeds_u)
             self._run_batch(g, record_time=True)
@@ -1862,6 +1981,9 @@ class IncrementalSolver:
         self._ingested_nodes = g.nnodes
         self._ingested_factors = g.nfactors
         self.last_naffected = plan.naffected
+        self.counters["superstep"] += 1
+        self.counters["sup_m_sum"] += plan.m
+        self.counters["sup_m_max"] = max(self.counters["sup_m_max"], plan.m)
 
         packed = jnp.asarray(pack_plan(plan, self._device_dtype, None,
                                        self._legacy_half))
@@ -2197,7 +2319,9 @@ class IncrementalSolver:
                     fringe_overflow=False,
                     ints=np.zeros(LI, dtype=np.int32),
                     floats=np.zeros(LF, dtype=np.float64),
-                    ridx=np.full((MAXAFF, BCAP), NCAP, dtype=np.int32))
+                    ridx=np.full((MAXAFF, BCAP), NCAP, dtype=np.int32),
+                    inv=np.full((MAXAFF, MAXAFF), BCAP, dtype=np.int8),
+                    scat=np.full((MAXAFF, BCAP), MAXAFF, dtype=np.int16))
                 packed = jnp.asarray(pack_plan(
                     plan, self._device_dtype, None, self._legacy_half))
                 self.ds, _stats = inc_superstep(
@@ -2236,11 +2360,19 @@ class IncrementalSolver:
             self._pending.clear()  # dead stats carry nothing
             count += 1
         # overflow-path ingest kernel (one fixed shape; no-op payload)
-        _, LI = I.ints_layout(0, 0, K)
-        _, LF = I.floats_layout(K)
         words = 2 if self._device_dtype == np.float64 else 1
-        self.ds = inc_ingest_tail(
-            self.ds, jnp.zeros(LI + LF * words, dtype=jnp.int32), KNEW=K)
+        if self.cfg.superstep_size > 1:
+            knode, kseed, kfac = _sup_caps(self.cfg)
+            _, LI = I.ints_layout(0, 0, kfac, knode, kseed)
+            _, LF = I.floats_layout(kfac, knode, kseed)
+            self.ds = inc_ingest_tail(
+                self.ds, jnp.zeros(LI + LF * words, dtype=jnp.int32),
+                KNEW=kfac, knode=knode, kseed=kseed)
+        else:
+            _, LI = I.ints_layout(0, 0, K)
+            _, LF = I.floats_layout(K)
+            self.ds = inc_ingest_tail(
+                self.ds, jnp.zeros(LI + LF * words, dtype=jnp.int32), KNEW=K)
         count += 1
         jax.block_until_ready(self.ds.state)
         self._last_dispatch_t = None  # precompile must not skew the gate clock

@@ -126,21 +126,24 @@ def worker() -> int:
         panel_nodes=128,
         wallclock_gate=False,   # deterministic trajectory (matches the
                                 # published 69.91 semantics, BASELINE.md).
-                                # NB: with bundling + policy_poll the batch
-                                # fallback may land up to ~policy_poll *
-                                # bundle_size steps late vs the reference's
-                                # synchronous trajectory; the wide CHI2_BAND
-                                # (not per-step matching) is the guard.
-        policy_lag=16,
-        bundle_size=32,         # amortize dispatch round-trips (profile_body:
-                                # fast x32 = 0.32 ms/step vs x8 = 0.51)
-        policy_poll=64,         # one policy d2h per ~4 bundles (each d2h
-                                # costs ~1 ms through the relay)
-        coalesce_full_solves=True,  # whole-graph sweep once per bundle
-                                # (full slots still solve their affected
-                                # set exactly; the sweep costs ~2.7 ms of
-                                # serialized gathers x ~1,200 full steps
-                                # when run per step — profile_mixedcost)
+                                # NB: with supersteps the batch fallback
+                                # may land up to ~policy_lag supersteps
+                                # late vs the reference's synchronous
+                                # trajectory; test_superstep_m3500_bench_config
+                                # pins the drift and the CHI2_BAND guards
+                                # the full replay.
+        policy_lag=2,           # supersteps are 32 steps each, so a lag of
+                                # 2 supersteps bounds policy delay at ~96
+                                # steps; deeper lag measurably drifts the
+                                # trajectory (batches fire late, affected
+                                # sets grow)
+        policy_poll=1,          # one ~1 ms policy d2h per superstep
+        superstep_size=32,      # a whole bundle of steps as ONE joint
+                                # frontal update + one sweep (see the
+                                # superstep section of incremental.py):
+                                # replaces 32 serialized slot bodies and
+                                # 32 host plans with one MXU-sized QR and
+                                # one plan per bundle
         log_chi2=False,         # the C demo times only the solver call
                                 # (aprilsam_demo.c:101-115); chi2 is computed
                                 # off the clock, here once at the end
