@@ -317,6 +317,29 @@ def run_batch_epoch(
 
         R_idx_np = sym.pad_idx
         R_nnz_np = sym.pad_nnz
+
+        # ---- scatter-free panel epoch (panel_epoch.py): the default TPU
+        # backend.  Falls through to the dense bucketed path when the
+        # graph exceeds the derived panel capacities or gn_iters > 1.
+        if cfg.batch_backend == "panel" and cfg.effective_gn_iters == 1:
+            from .panel_epoch import (build_panel_plan, pack_pep,
+                                      panel_epoch_step)
+
+            plan = build_panel_plan(cfg, nnodes, sym, sym.pad_idx,
+                                    sym.pad_nnz, ftypes, fnodes)
+            if plan is not None:
+                b16, b32 = pack_pep(plan, NCAP, BCAP, log_mode)
+                ds, chi2, spd = panel_epoch_step(
+                    ds, jnp.asarray(b16), jnp.asarray(b32),
+                    jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
+                    NPANB=plan.npanb, MC=plan.mc_cap, NU=plan.nu_cap,
+                    MULT=plan.mult, KEXTA=plan.kexta, NFAC3=plan.nfac3,
+                    PANEL=cfg.panel_nodes)
+                if lazy:
+                    return ds, sym, BatchInfo(chi2=chi2, spd=spd, n=nnodes)
+                return ds, sym, BatchInfo(chi2=float(chi2), spd=bool(spd),
+                                          n=nnodes)
+
         ext_p, ext_slot = np.nonzero(valid)
         ext_p = ext_p.astype(np.int32)
         ext_slot = ext_slot.astype(np.int32)
@@ -442,7 +465,7 @@ class BatchSolver:
     def _use_host(self) -> bool:
         if self.cfg.batch_backend == "host":
             return True
-        if self.cfg.batch_backend == "device":
+        if self.cfg.batch_backend in ("device", "panel"):
             return False
         from .. import native
 

@@ -1077,56 +1077,10 @@ def _global_sweep(ds: DeviceState, PANEL: int, NPANB: int,
     M3500 shapes) — which is why deferred-mode bundles coalesce this sweep
     to once per bundle (cfg.coalesce_full_solves)."""
     NCAP = ds.state.shape[0]
-    BCAP = ds.R_idx.shape[1]
-    dtype = ds.R_blocks.dtype
     n = ds.nnodes
-    NP3 = 3 * PANEL
+    from ..kernels.sweep import panel_backsub
 
-    act_rows = ds.R_blocks[: NPANB * PANEL].reshape(NPANB, PANEL, BCAP, 3, 3)
-    act_idx = ds.R_idx[: NPANB * PANEL].reshape(NPANB, PANEL, BCAP)
-    p0s = (jnp.arange(NPANB, dtype=jnp.int32) * PANEL)[:, None, None]
-    # T[n, p, c] = the row's block at column p0+c, via one-hot MXU einsum.
-    # (A vectorized binary-search + take_along_axis variant was measured
-    # 3-4x SLOWER on the v5e despite materializing an [NPANB, PANEL, BCAP,
-    # PANEL] one-hot — batched dynamic gathers lower poorly where the MXU
-    # eats the one-hot contraction.)
-    loc = act_idx - p0s
-    inpan = (loc >= 0) & (loc < PANEL)
-    oh = jax.nn.one_hot(jnp.where(inpan, loc, 0), PANEL,
-                        dtype=dtype) * inpan[..., None]
-    T = jnp.einsum("npbij,npbc->npcij", act_rows, oh)
-    Td = T.transpose(0, 1, 3, 2, 4).reshape(NPANB, NP3, NP3)
-    prow_all = p0s.reshape(NPANB, 1) + jnp.arange(PANEL, dtype=jnp.int32)
-    act_scal = jnp.repeat(prow_all < n, 3, axis=1)          # [NPANB, NP3]
-    Td = Td + jnp.eye(NP3, dtype=dtype)[None] * jnp.where(
-        act_scal, 0.0, 1.0)[:, :, None]
-    from ..kernels.pallas_tri import tri_inv
-
-    Tinv = tri_inv(Td)
-
-    xb = jnp.zeros((NCAP + 1, 3), dtype=dtype)
-
-    def panel_body(xb, j_rev):
-        j = NPANB - 1 - j_rev
-        p0 = j * PANEL
-        rows = jax.lax.dynamic_slice_in_dim(ds.R_blocks, p0, PANEL, 0)
-        idx = jax.lax.dynamic_slice_in_dim(ds.R_idx, p0, PANEL, 0)
-        yp = jax.lax.dynamic_slice_in_dim(ds.y, p0, PANEL, 0)
-        beyond = idx >= (p0 + PANEL)
-        xg = xb[jnp.clip(idx, 0, NCAP)]
-        acc = jnp.einsum("pbij,pbj->pi", rows,
-                         jnp.where(beyond[..., None], xg, 0.0))
-        prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
-        active = jnp.repeat(prow < n, 3)
-        rhs = jnp.where(active, (yp - acc).reshape(-1), 0.0)
-        Ti = jax.lax.dynamic_slice_in_dim(Tinv, j, 1, 0)[0]
-        xp = Ti @ rhs
-        xb = jax.lax.dynamic_update_slice_in_dim(
-            xb, xp.reshape(PANEL, 3), p0, 0)
-        return xb, None
-
-    xb, _ = jax.lax.scan(panel_body, xb, jnp.arange(NPANB))
-    x_pos = xb[:NCAP]
+    x_pos = panel_backsub(ds.R_blocks, ds.R_idx, ds.y, n, PANEL, NPANB)
 
     node_ids = jnp.arange(NCAP, dtype=jnp.int32)
     valid = node_ids < n
@@ -1654,7 +1608,7 @@ class IncrementalSolver:
     def _use_host_batch(self) -> bool:
         if self.cfg.batch_backend == "host":
             return True
-        if self.cfg.batch_backend == "device":
+        if self.cfg.batch_backend in ("device", "panel"):
             return False
         from .. import native
 

@@ -1,0 +1,595 @@
+"""Scatter-free batch epoch: left-looking panel Cholesky on the R pattern.
+
+The dense bucketed epoch (batch.py:_batch_step) spends ~300 ms at M3500
+scale, ~75% of it in TPU scatters (normal-equation assembly 221 ms, factor
+extract/scatter 81 ms measured chained on a v5e; scatters serialize per
+index row at ~2.5-4.5 us).  This module re-derives the epoch as pure
+gathers + MXU matmuls on the block-sparse R pattern itself (reference:
+the CSparse up-looking factorization, csparse.c:462-513, recast as a
+left-looking panel method — the multifrontal TPU mapping SURVEY §7
+prescribes):
+
+  host:   ordering + symbolic patterns + etree (native C, ~10 ms), then
+          panel metadata: per 128-position panel the contributing rows
+          (pattern hits the panel) and the union of tail columns, plus a
+          sorted contribution->A-slot segment table.
+  device: ONE jit: batched factor eval -> contribution blocks; A assembled
+          COMPACT in pattern order by gathering each destination's
+          (contiguous after the host sort) contributions; lax.scan over
+          panels: dense S_PP = A_PP - W^T W via one-hot/equality einsums
+          over the contributors' resident rows (gathers + MXU, no scatter),
+          dense chol + triangular solves, rows written back with
+          dynamic_update_slice; forward solve y rides the same scan;
+          back-substitution reuses the panel-sweep machinery.
+
+A values never exist in dense [3n, 3n] form, so the epoch scales to the
+100k-pose workload (the dense path is O(MB^2) memory / O(MB^3) flops).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SolverConfig
+from .state import DeviceState, state_chi2
+from .symbolic import SymbolicState
+
+
+def _bucket_pow2(v: int, lo: int) -> int:
+    b = lo
+    while b < v:
+        b *= 2
+    return b
+
+
+def panel_caps(npanb: int, panel: int) -> Tuple[int, int, int, int, int]:
+    """Static capacities derived from the active panel count ALONE, so the
+    epoch executable ladder has a single axis (one compile per npanb
+    doubling).  Formulas sized from measured M3500 plans (mc saturates at
+    1024, nu at 512, mult at 16, ~6.5 mean pattern nnz and ~4.9
+    contributions per node); a plan exceeding them falls back to the host
+    (or dense) epoch for that round."""
+    mc = 64 * npanb if npanb <= 16 else (1024 if npanb <= 64 else 2048)
+    nu = 32 * npanb if npanb <= 16 else (512 if npanb <= 64 else 1024)
+    mult = 32
+    kexta = 8 * panel * npanb
+    nfac3 = 8 * panel * npanb
+    return mc, nu, mult, kexta, nfac3
+
+
+class PanelEpochPlan(NamedTuple):
+    """Host-built metadata for one panel epoch (all numpy)."""
+
+    npanb: int          # active panel count (static)
+    mc_cap: int         # contributors per panel (static bucket)
+    nu_cap: int         # union tail columns per panel (static bucket)
+    mult: int           # max contributions per A block / B row (static)
+    kexta: int          # compact A block capacity (static bucket)
+    nfac3: int          # contribution triple capacity (static bucket)
+    crow: np.ndarray    # [npanb, mc_cap] contributing row positions (pad NCAP-1)
+    ucols: np.ndarray   # [npanb, nu_cap] union tail columns (pad NCAP)
+    perm: np.ndarray    # [nfac3] contribution index sorted by dest (pad -> zero)
+    astart: np.ndarray  # [kexta] first perm slot of each A block
+    acount: np.ndarray  # [kexta] contribution count of each A block
+    bperm: np.ndarray   # [nfac3] B contribution index sorted by dest row
+    bstart: np.ndarray  # [NCAP] first bperm slot per row
+    bcount: np.ndarray  # [NCAP] B contribution count per row
+    row_ptr: np.ndarray  # [NCAP] compact offset of each row's pattern
+    R_idx: np.ndarray   # [NCAP, BCAP] new pattern (pad NCAP)
+    R_nnz: np.ndarray   # [NCAP]
+    pos: np.ndarray     # [NCAP]
+    order: np.ndarray   # [NCAP]
+
+
+def build_panel_plan(
+    cfg: SolverConfig,
+    nnodes: int,
+    sym: SymbolicState,
+    pad_idx: np.ndarray,
+    pad_nnz: np.ndarray,
+    ftypes: np.ndarray,
+    fnodes: np.ndarray,
+) -> PanelEpochPlan:
+    """Panel metadata from the symbolic pattern + factor table (vectorized
+    numpy; ~a few ms at M3500 scale)."""
+    from ..graph import FACTOR_XYT
+
+    NCAP = cfg.node_capacity
+    BCAP = cfg.row_block_capacity
+    PANEL = cfg.panel_nodes
+    pos = np.arange(NCAP, dtype=np.int32)
+    pos[: nnodes] = sym.pos
+    order = np.arange(NCAP, dtype=np.int32)
+    order[: nnodes] = sym.order
+
+    npanb = max(1, -(-nnodes // PANEL))
+    # one executable per power-of-two active panel count
+    b = 1
+    npan_max = NCAP // PANEL
+    while b < npanb and b < npan_max:
+        b *= 2
+    npanb = min(b, npan_max)
+
+    nnz = pad_nnz[:nnodes]
+    row_ptr = np.zeros(NCAP, dtype=np.int32)
+    row_ptr[1:nnodes] = np.cumsum(nnz[:-1], dtype=np.int64)[: nnodes - 1]
+    kexta_live = int(nnz.sum())
+
+    # ---- per-panel contributors + union tails ------------------------
+    rows_i, slots_i = np.nonzero(
+        np.arange(BCAP, dtype=np.int32)[None, :] < nnz[:, None])
+    cols_i = pad_idx[rows_i, slots_i]                     # all pattern cols
+    pan_of_col = cols_i // PANEL
+    pan_of_row = rows_i // PANEL
+    off_pan = pan_of_col > pan_of_row                     # strictly later
+    crow_list = [[] for _ in range(npanb)]
+    ucol_sets = [None] * npanb
+    # contributors: (row, target panel) pairs, deduped
+    pairs = np.unique(
+        np.stack([pan_of_col[off_pan], rows_i[off_pan]], axis=1), axis=0)
+    mc = np.zeros(npanb, dtype=np.int64)
+    for p in range(npanb):
+        sel = pairs[:, 0] == p
+        crow_list[p] = pairs[sel, 1]
+        mc[p] = sel.sum()
+    # union tails: columns beyond the row's own panel end, grouped by the
+    # ROW's panel (these are the tail columns panel `pan_of_row` must fill)
+    umask = pan_of_col > pan_of_row
+    nu = np.zeros(npanb, dtype=np.int64)
+    for p in range(npanb):
+        sel = (pan_of_row == p) & umask
+        u = np.unique(cols_i[sel])
+        ucol_sets[p] = u
+        nu[p] = len(u)
+
+    mc_cap, nu_cap, mult_cap, kexta, nfac3 = panel_caps(npanb, PANEL)
+    if int(mc.max()) > mc_cap or int(nu.max()) > nu_cap \
+            or kexta_live > kexta:
+        return None
+
+    crow = np.full((npanb, mc_cap), NCAP - 1, dtype=np.int32)
+    ucols = np.full((npanb, nu_cap), NCAP, dtype=np.int32)
+    for p in range(npanb):
+        crow[p, : mc[p]] = crow_list[p]
+        ucols[p, : nu[p]] = ucol_sets[p]
+
+    # ---- contribution -> compact-A segment tables --------------------
+    # Contribution SOURCE indices address the device-side concatenation
+    #   blocks = [Haa(FCAP) | Hbb(FCAP) | Hoff(FCAP) | Wprior(FPOS) | zero]
+    #   bvecs  = [ga(FCAP)  | gb(FCAP)  | gprior(FPOS) | zero]
+    # where each factor's index within its type table is its ingestion
+    # order (the device tables append per type in graph order).
+    FCAP = cfg.factor_capacity
+    FPOS = max(256, cfg.factor_capacity // 8)
+    is_xyt = ftypes == FACTOR_XYT
+    ix = np.cumsum(is_xyt) - 1                   # xyt-table index
+    ip = np.cumsum(~is_xyt) - 1                  # pos-table index
+    fa = fnodes[:, 0].astype(np.int64)
+    fb = np.clip(fnodes[:, 1], 0, None).astype(np.int64)
+    pa = pos[fa].astype(np.int64)
+    pb = pos[fb].astype(np.int64)
+    pmin = np.minimum(pa, pb)
+    pmax = np.maximum(pa, pb)
+
+    def slot_of(prow, pcol):
+        # pattern rows are sorted ascending: slot = #cols < pcol
+        pat = pad_idx[prow]                                # [k, BCAP]
+        return (pat < pcol[:, None]).sum(axis=1).astype(np.int64)
+
+    d_aa = row_ptr[pa] + 0
+    d_bb = row_ptr[pb] + 0
+    d_off = row_ptr[pmin] + slot_of(pmin, pmax)
+    d_pp = row_ptr[pa] + 0
+    dest = np.concatenate([
+        np.where(is_xyt, d_aa, -1),
+        np.where(is_xyt, d_bb, -1),
+        np.where(is_xyt, d_off, -1),
+        np.where(~is_xyt, d_pp, -1),
+    ])
+    src = np.concatenate([
+        ix, FCAP + ix, 2 * FCAP + ix, 3 * FCAP + ip,
+    ]).astype(np.int64)
+    valid = dest >= 0
+    if int(valid.sum()) > nfac3:
+        return None
+    vi = np.nonzero(valid)[0]
+    sort = np.argsort(dest[vi], kind="stable")
+    sorted_src = src[vi][sort].astype(np.int32)
+    sorted_dest = dest[vi][sort]
+    perm = np.full(nfac3, 3 * FCAP + FPOS, dtype=np.int32)  # pad -> zero
+    perm[: len(sorted_src)] = sorted_src
+    astart = np.zeros(kexta, dtype=np.int32)
+    acount = np.zeros(kexta, dtype=np.int32)
+    uq, first, counts = np.unique(sorted_dest, return_index=True,
+                                  return_counts=True)
+    astart[uq] = first
+    acount[uq] = counts
+
+    # B contributions: [ga @ pa] [gb @ pb] [gprior @ pa]
+    bdest = np.concatenate([
+        np.where(is_xyt, pa, -1),
+        np.where(is_xyt, pb, -1),
+        np.where(~is_xyt, pa, -1),
+    ])
+    bsrc = np.concatenate([ix, FCAP + ix, 2 * FCAP + ip]).astype(np.int64)
+    bi = np.nonzero(bdest >= 0)[0]
+    bsort = np.argsort(bdest[bi], kind="stable")
+    bsorted = bsrc[bi][bsort].astype(np.int32)
+    bperm = np.full(nfac3, 2 * FCAP + FPOS, dtype=np.int32)
+    bperm[: len(bsorted)] = bsorted
+    bstart = np.zeros(NCAP, dtype=np.int32)
+    bcount = np.zeros(NCAP, dtype=np.int32)
+    uqb, firstb, countsb = np.unique(bdest[bi][bsort], return_index=True,
+                                     return_counts=True)
+    bstart[uqb] = firstb
+    bcount[uqb] = countsb
+
+    mult = mult_cap
+    if max(int(counts.max(initial=1)), int(countsb.max(initial=1))) > mult:
+        return None
+
+    R_idx = np.full((NCAP, BCAP), NCAP, dtype=np.int32)
+    vmask = np.arange(BCAP, dtype=np.int32)[None, :] < nnz[:, None]
+    R_idx[:nnodes][vmask] = pad_idx[:nnodes][vmask]
+    R_nnz = np.zeros(NCAP, dtype=np.int32)
+    R_nnz[:nnodes] = nnz
+
+    return PanelEpochPlan(
+        npanb=npanb, mc_cap=mc_cap, nu_cap=nu_cap, mult=mult,
+        kexta=kexta, nfac3=nfac3,
+        crow=crow, ucols=ucols, perm=perm, astart=astart, acount=acount,
+        bperm=bperm, bstart=bstart, bcount=bcount,
+        row_ptr=row_ptr, R_idx=R_idx, R_nnz=R_nnz,
+        pos=pos, order=order,
+    )
+
+
+# ======================================================================
+# packing (two merged h2d buffers: int16-packable metadata + int32 tables)
+# ======================================================================
+
+def _half(NCAP: int) -> bool:
+    from .batch import symb_half
+
+    return symb_half(NCAP)
+
+
+def pep_layout(NCAP: int, BCAP: int, plan_dims):
+    """(segment offsets, lengths) of the two packed buffers.  plan_dims =
+    (npanb, mc, nu, mult, kexta, nfac3)."""
+    npanb, mc, nu, mult, kexta, nfac3 = plan_dims
+    w = 2 if _half(NCAP) else 1
+    s16 = (("crow", npanb * mc), ("ucols", npanb * nu),
+           ("R_idx", NCAP * BCAP), ("R_nnz", NCAP),
+           ("pos", NCAP), ("order", NCAP),
+           ("acount", kexta), ("bcount", NCAP))
+    off16 = {}
+    o = 0
+    for name, n in s16:
+        off16[name] = (o, o + n // w, n)
+        o += n // w
+    s32 = (("perm", nfac3), ("bperm", nfac3),
+           ("astart", kexta), ("bstart", NCAP), ("row_ptr", NCAP),
+           ("scalars", 2))
+    off32 = {}
+    o2 = 0
+    for name, n in s32:
+        off32[name] = (o2, o2 + n, n)
+        o2 += n
+    return off16, o, off32, o2
+
+
+def pack_pep(plan: PanelEpochPlan, NCAP: int, BCAP: int, log_mode: int):
+    dims = (plan.npanb, plan.mc_cap, plan.nu_cap, plan.mult,
+            plan.kexta, plan.nfac3)
+    off16, L16, off32, L32 = pep_layout(NCAP, BCAP, dims)
+    half = _half(NCAP)
+    b16 = np.empty(L16, dtype=np.int32)
+
+    def put16(name, arr):
+        lo, hi, _n = off16[name]
+        a = np.ascontiguousarray(arr, dtype=np.int32).reshape(-1)
+        if half:
+            a = a.astype(np.int16).view(np.int32)
+        b16[lo:hi] = a
+
+    put16("crow", plan.crow)
+    put16("ucols", plan.ucols)
+    put16("R_idx", plan.R_idx)
+    put16("R_nnz", plan.R_nnz)
+    put16("pos", plan.pos)
+    put16("order", plan.order)
+    put16("acount", plan.acount)
+    put16("bcount", plan.bcount)
+
+    b32 = np.empty(L32, dtype=np.int32)
+
+    def put32(name, arr):
+        lo, hi, _n = off32[name]
+        b32[lo:hi] = np.ascontiguousarray(arr, dtype=np.int32).reshape(-1)
+
+    put32("perm", plan.perm)
+    put32("bperm", plan.bperm)
+    put32("astart", plan.astart)
+    put32("bstart", plan.bstart)
+    put32("row_ptr", plan.row_ptr)
+    put32("scalars", np.asarray([log_mode, 0], dtype=np.int32))
+    return b16, b32
+
+
+# ======================================================================
+# device kernel
+# ======================================================================
+
+@partial(jax.jit,
+         static_argnames=("NPANB", "MC", "NU", "MULT", "KEXTA", "NFAC3",
+                          "PANEL"),
+         donate_argnames=("ds",))
+def panel_epoch_step(
+    ds: DeviceState,
+    b16, b32, tikhonov,
+    NPANB: int, MC: int, NU: int, MULT: int, KEXTA: int, NFAC3: int,
+    PANEL: int,
+):
+    from ..factors import eval_xyt, eval_xytpos, gn_blocks_xyt
+    from ..geometry import mod2pi
+    from ..kernels.sweep import panel_backsub
+
+    NCAP = ds.state.shape[0]
+    BCAP = ds.R_idx.shape[1]
+    FCAP = ds.xyt_a.shape[0]
+    FPOS = ds.pos_node.shape[0]
+    dtype = ds.R_blocks.dtype
+    dims = (NPANB, MC, NU, MULT, KEXTA, NFAC3)
+    off16, _L16, off32, _L32 = pep_layout(NCAP, BCAP, dims)
+    half = _half(NCAP)
+
+    def dec16(name, shape=None):
+        lo, hi, n = off16[name]
+        seg = b16[lo:hi]
+        if half:
+            seg = jax.lax.bitcast_convert_type(seg, jnp.int16).astype(
+                jnp.int32).reshape(n)
+        return seg if shape is None else seg.reshape(shape)
+
+    def dec32(name, shape=None):
+        lo, hi, _n = off32[name]
+        seg = b32[lo:hi]
+        return seg if shape is None else seg.reshape(shape)
+
+    crow = dec16("crow", (NPANB, MC))
+    ucols = dec16("ucols", (NPANB, NU))
+    R_idx_new = dec16("R_idx", (NCAP, BCAP))
+    R_nnz_new = dec16("R_nnz")
+    pos_new = dec16("pos")
+    order_new = dec16("order")
+    acount = dec16("acount")
+    bcount = dec16("bcount")
+    perm = dec32("perm")
+    bperm = dec32("bperm")
+    astart = dec32("astart")
+    bstart = dec32("bstart")
+    row_ptr = dec32("row_ptr")
+    log_mode = dec32("scalars")[0]
+
+    n = ds.nnodes
+
+    # ---- relinearize all + batched factor eval (aprilsam.c:131-195) ----
+    l_point = ds.state
+    xyt_valid = jnp.arange(FCAP, dtype=jnp.int32) < ds.n_xyt
+    pos_valid = jnp.arange(FPOS, dtype=jnp.int32) < ds.n_pos
+    xa = jnp.where(xyt_valid, ds.xyt_a, 0)
+    xb = jnp.where(xyt_valid, ds.xyt_b, 0)
+    ev = eval_xyt(l_point, xa, xb, ds.xyt_z, ds.xyt_W)
+    Haa, Hab, Hba, Hbb, ga, gb = gn_blocks_xyt(ev, ds.xyt_W)
+    pn = jnp.where(pos_valid, ds.pos_node, 0)
+    evp = eval_xytpos(ds.state, pn, ds.pos_z, ds.pos_W)
+    gp = jnp.einsum("fij,fj->fi", ds.pos_W, evp.r)
+
+    pa = pos_new[xa]
+    pb = pos_new[xb]
+    Hoff = jnp.where((pa < pb)[:, None, None], Hab, Hba)
+    blocks = jnp.concatenate(
+        [Haa, Hbb, Hoff, ds.pos_W,
+         jnp.zeros((1, 3, 3), dtype=dtype)], axis=0)
+    bvecs = jnp.concatenate(
+        [ga, gb, gp, jnp.zeros((1, 3), dtype=dtype)], axis=0)
+
+    # ---- gather-only assembly: compact A on the pattern + dense B ------
+    Hs = blocks[jnp.clip(perm, 0, 3 * FCAP + FPOS)]        # [NFAC3, 3, 3]
+    tab = astart[:, None] + jnp.arange(MULT, dtype=jnp.int32)[None, :]
+    tmask = jnp.arange(MULT, dtype=jnp.int32)[None, :] < acount[:, None]
+    G = Hs[jnp.clip(tab, 0, NFAC3 - 1)] * tmask[..., None, None]
+    A_comp = G.sum(axis=1)                                 # [KEXTA, 3, 3]
+
+    Bs = bvecs[jnp.clip(bperm, 0, 2 * FCAP + FPOS)]
+    btab = bstart[:, None] + jnp.arange(MULT, dtype=jnp.int32)[None, :]
+    bmask = jnp.arange(MULT, dtype=jnp.int32)[None, :] < bcount[:, None]
+    Bq = Bs[jnp.clip(btab, 0, NFAC3 - 1)] * bmask[..., None]
+    B_full = Bq.sum(axis=1)                                # [NCAP, 3]
+
+    # ---- left-looking panel factorization + forward solve --------------
+    # The whole factorization runs in Jacobi-equilibrated space (the same
+    # D^-1/2 A D^-1/2 scaling the dense epoch uses for float32 robustness):
+    # R~ = R D^-1/2 is carried through the scan (pure COLUMN scaling, so
+    # contributor strips need no rescale) and the true R is recovered once
+    # at the end; y~ equals the true y (R~^T y~ = D^-1/2 B <=> R^T y = B).
+    P3 = 3 * PANEL
+    tik = jnp.asarray(tikhonov, dtype=dtype)
+    diag_blocks = A_comp[jnp.clip(row_ptr, 0, KEXTA - 1)]   # [NCAP, 3, 3]
+    dscal = jnp.einsum("pii->pi", diag_blocks) + tik        # diag(A)+tik
+    prow_act = jnp.arange(NCAP, dtype=jnp.int32) < n
+    dvec_full = jnp.where(
+        prow_act[:, None],
+        jax.lax.rsqrt(jnp.maximum(dscal, 1e-30)), 1.0)      # [NCAP, 3]
+
+    def body(carry, xs):
+        Rb, y, spd = carry
+        k, crow_k, ucols_k = xs
+        p0 = k * jnp.int32(PANEL)
+        z0 = jnp.int32(0)
+        prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
+        idx_pan = jax.lax.dynamic_slice(R_idx_new, (p0, z0), (PANEL, BCAP))
+        nnz_pan = jax.lax.dynamic_slice(R_nnz_new, (p0,), (PANEL,))
+        rptr_pan = jax.lax.dynamic_slice(row_ptr, (p0,), (PANEL,))
+        slotv = jnp.arange(BCAP, dtype=jnp.int32)[None, :] < nnz_pan[:, None]
+
+        a_rows = A_comp[jnp.clip(
+            rptr_pan[:, None] + jnp.arange(BCAP, dtype=jnp.int32), 0,
+            KEXTA - 1)] * slotv[..., None, None]           # [P, BCAP, 3, 3]
+        # equilibrate A rows in place: row i scaled by dvec[panel row, i],
+        # col j by dvec[column block, j]
+        dvP = jax.lax.dynamic_slice(dvec_full, (p0, z0), (PANEL, 3))
+        dcol = dvec_full[jnp.clip(idx_pan, 0, NCAP - 1)]   # [P, BCAP, 3]
+        a_rows = a_rows * dvP[:, None, :, None] * dcol[:, :, None, :]
+        loc = idx_pan - p0
+        inpan = (loc >= 0) & (loc < PANEL) & slotv
+        oh_in = jax.nn.one_hot(jnp.where(inpan, loc, 0), PANEL,
+                               dtype=dtype) * inpan[..., None]
+        Apan = jnp.einsum("pbij,pbc->pcij", a_rows, oh_in)
+        X = Apan.transpose(0, 2, 1, 3).reshape(P3, P3)
+        # reference upper-triangle rule at SCALAR level (aprilsam.c:216-225)
+        Sd = jnp.triu(X) + jnp.triu(X, 1).T
+        active = jnp.repeat(prow < n, 3)
+        # tikhonov in equilibrated units (the dense path adds it before
+        # computing dvec; here dvec already includes it, so the scaled
+        # diagonal contribution is tik * dvec^2); padding rows get 1.0
+        Sd = Sd + jnp.eye(P3, dtype=dtype) * jnp.where(
+            active, tik * (dvP.reshape(P3) ** 2), 1.0)
+
+        oh_u = ((idx_pan[:, :, None] == ucols_k[None, None, :])
+                & slotv[..., None]).astype(dtype)          # [P, BCAP, NU]
+        Atail = jnp.einsum("pbij,pbu->puij", a_rows, oh_u)
+        Au = Atail.transpose(0, 2, 1, 3).reshape(P3, 3 * NU)
+        bP = (jax.lax.dynamic_slice(B_full, (p0, z0), (PANEL, 3))
+              * dvP).reshape(P3)
+
+        cr = jnp.clip(crow_k, 0, NCAP - 1)
+        rows_c = Rb[cr]                                    # [MC, BCAP, 3, 3]
+        idx_c = R_idx_new[cr]
+        y_c = y[cr]                                        # [MC, 3]
+        locc = idx_c - p0
+        cin = (locc >= 0) & (locc < PANEL)
+        ohc = jax.nn.one_hot(jnp.where(cin, locc, 0), PANEL,
+                             dtype=dtype) * cin[..., None]
+        Wp = jnp.einsum("mbij,mbp->mpij", rows_c, ohc)
+        Wps = Wp.transpose(0, 2, 1, 3).reshape(3 * MC, P3)
+        ohu_c = (idx_c[:, :, None] == ucols_k[None, None, :]).astype(dtype)
+        Wu = jnp.einsum("mbij,mbu->muij", rows_c, ohu_c)
+        Wus = Wu.transpose(0, 2, 1, 3).reshape(3 * MC, 3 * NU)
+
+        S = Sd - Wps.T @ Wps
+        Su = Au - Wps.T @ Wus
+        by = bP - Wps.T @ y_c.reshape(3 * MC)
+
+        Ls = jnp.linalg.cholesky(S)
+        diag = jnp.diagonal(Ls)
+        spd = spd & jnp.all(jnp.where(active, jnp.isfinite(diag)
+                                      & (diag > 0), True))
+        Rpp = jnp.triu(Ls.T)
+        Rpu = jax.scipy.linalg.solve_triangular(Ls, Su, lower=True)
+        yP = jax.scipy.linalg.solve_triangular(Ls, by, lower=True)
+
+        Rpp_b = Rpp.reshape(PANEL, 3, PANEL, 3).transpose(0, 2, 1, 3)
+        npart = jnp.einsum("pcij,pbc->pbij", Rpp_b, oh_in)
+        Rpu_b = Rpu.reshape(PANEL, 3, NU, 3).transpose(0, 2, 1, 3)
+        upart = jnp.einsum("puij,pbu->pbij", Rpu_b, oh_u)
+        newrows = npart + upart
+        Rb = jax.lax.dynamic_update_slice(Rb, newrows, (p0, z0, z0, z0))
+        y = jax.lax.dynamic_update_slice(y, yP.reshape(PANEL, 3), (p0, z0))
+        return (Rb, y, spd), None
+
+    Rb0 = jnp.zeros_like(ds.R_blocks)
+    y0 = jnp.zeros((NCAP, 3), dtype=dtype)
+    (Rb, y_full, spd), _ = jax.lax.scan(
+        body, (Rb0, y0, jnp.asarray(True)),
+        (jnp.arange(NPANB, dtype=jnp.int32), crow, ucols))
+
+    # un-equilibrate the carried factor: R = R~ D^1/2 (column scaling);
+    # y~ already equals the true y (see above)
+    dcol_all = dvec_full[jnp.clip(R_idx_new, 0, NCAP - 1)]  # [NCAP, BCAP, 3]
+    Rb = Rb / dcol_all[:, :, None, :]
+
+    # ---- back-substitution + state update (aprilsam.c:298-315) ---------
+    x_pos = panel_backsub(Rb, R_idx_new, y_full, n, PANEL, NPANB)
+    node_ids = jnp.arange(NCAP, dtype=jnp.int32)
+    valid = node_ids < n
+    dx = jnp.where(valid[:, None],
+                   x_pos[jnp.clip(pos_new, 0, NCAP - 1)], 0.0)
+    ok = valid & ~jnp.any(jnp.isnan(dx), axis=1)
+    new_state = jnp.where(ok[:, None], l_point + dx, ds.state)
+    new_state = new_state.at[:, 2].set(
+        jnp.where(ok, mod2pi(new_state[:, 2]), new_state[:, 2]))
+
+    ds = ds._replace(
+        R_blocks=Rb, R_idx=R_idx_new, R_nnz=R_nnz_new, y=y_full,
+        state=new_state, l_point=l_point,
+        delta_X=jnp.where(ok[:, None], dx, ds.delta_X),
+        relinearized=jnp.zeros_like(ds.relinearized),
+        pos=pos_new, order=order_new,
+        start_over=jnp.int32(0), spd_ok=jnp.asarray(True),
+    )
+    chi2 = state_chi2(ds)
+    LOG = ds.chi2_log.shape[0]
+    do_log = log_mode < 2
+    ptr = jnp.maximum(ds.log_ptr - (log_mode == 1), 0)
+    ds = ds._replace(
+        chi2_log=ds.chi2_log.at[jnp.where(do_log, ptr, LOG)].set(
+            chi2, mode="drop"),
+        log_ptr=jnp.where(do_log, ptr + 1, ds.log_ptr),
+    )
+    return ds, chi2, spd
+
+
+def precompile_panel_epoch(ds: DeviceState, cfg: SolverConfig,
+                           nnodes_max: int) -> Tuple[DeviceState, int]:
+    """Compile the panel-epoch ladder (one executable per power-of-two
+    active panel count; all other capacities derive from it) with dead
+    inputs on a throwaway state."""
+    NCAP = cfg.node_capacity
+    BCAP = cfg.row_block_capacity
+    PANEL = cfg.panel_nodes
+    npan_max = NCAP // PANEL
+    target = min(_bucket_pow2(max(1, -(-nnodes_max // PANEL)), 1), npan_max)
+    count = 0
+    npanb = 1
+    while True:
+        mc, nu, mult, kexta, nfac3 = panel_caps(npanb, PANEL)
+        plan = PanelEpochPlan(
+            npanb=npanb, mc_cap=mc, nu_cap=nu, mult=mult, kexta=kexta,
+            nfac3=nfac3,
+            crow=np.full((npanb, mc), NCAP - 1, dtype=np.int32),
+            ucols=np.full((npanb, nu), NCAP, dtype=np.int32),
+            perm=np.full(nfac3, 3 * cfg.factor_capacity
+                         + max(256, cfg.factor_capacity // 8),
+                         dtype=np.int32),
+            astart=np.zeros(kexta, dtype=np.int32),
+            acount=np.zeros(kexta, dtype=np.int32),
+            bperm=np.full(nfac3, 2 * cfg.factor_capacity
+                          + max(256, cfg.factor_capacity // 8),
+                          dtype=np.int32),
+            bstart=np.zeros(NCAP, dtype=np.int32),
+            bcount=np.zeros(NCAP, dtype=np.int32),
+            row_ptr=np.zeros(NCAP, dtype=np.int32),
+            R_idx=np.full((NCAP, BCAP), NCAP, dtype=np.int32),
+            R_nnz=np.zeros(NCAP, dtype=np.int32),
+            pos=np.arange(NCAP, dtype=np.int32),
+            order=np.arange(NCAP, dtype=np.int32),
+        )
+        b16, b32 = pack_pep(plan, NCAP, BCAP, 2)
+        ds, _c, _s = panel_epoch_step(
+            ds, jnp.asarray(b16), jnp.asarray(b32),
+            jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
+            NPANB=npanb, MC=mc, NU=nu, MULT=mult, KEXTA=kexta,
+            NFAC3=nfac3, PANEL=PANEL)
+        count += 1
+        if npanb >= target:
+            break
+        npanb *= 2
+    jax.block_until_ready(ds.state)
+    return ds, count

@@ -147,12 +147,11 @@ def worker() -> int:
         log_chi2=False,         # the C demo times only the solver call
                                 # (aprilsam_demo.c:101-115); chi2 is computed
                                 # off the clock, here once at the end
-        # On TPU, batch epochs run fully on device (dense bucketed epoch +
-        # native C symbolic phase, dispatched lazily): the host-C backend's
-        # per-epoch d2h states fetch + compact R upload stalls the pipeline
-        # ~0.3-1 s x ~30 epochs.  CPU keeps the host backend (exact
-        # float64 reference semantics).
-        batch_backend="auto" if use_x64 else "device",
+        # On TPU, batch epochs run fully on device via the scatter-free
+        # panel backend (panel_epoch.py; the dense bucketed epoch cost
+        # ~290 ms at M3500 scale, ~75% of it in serialized TPU scatters).
+        # CPU keeps the host backend (exact float64 reference semantics).
+        batch_backend="auto" if use_x64 else "panel",
     )
 
     # warmup: run a short prefix (compiles the batch path), then drive every
@@ -170,7 +169,18 @@ def worker() -> int:
     # cannot run on a live solver)
     from aprilsam_tpu.solver.state import init_device_state
 
-    if cfg.batch_backend == "device":
+    if cfg.batch_backend == "panel":
+        from aprilsam_tpu.solver.batch import precompile_device_batch
+        from aprilsam_tpu.solver.panel_epoch import precompile_panel_epoch
+
+        _, nexp = precompile_panel_epoch(
+            init_device_state(cfg), cfg, loaded.nnodes)
+        # the dense ladder stays compiled as the panel plan's overflow
+        # fallback (a mid-run relay compile costs 10-60 s)
+        _, n2 = precompile_device_batch(
+            init_device_state(cfg), cfg, loaded.nnodes)
+        nexp += n2
+    elif cfg.batch_backend == "device":
         from aprilsam_tpu.solver.batch import precompile_device_batch
 
         _, nexp = precompile_device_batch(

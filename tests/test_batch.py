@@ -86,3 +86,58 @@ def test_m3500_batch_replay_prefix(m3500):
     res = rep.run(max_steps=K)
     ours = np.array([r.chi2 for r in res])
     np.testing.assert_allclose(ours, golden[:K], rtol=1e-4, atol=1e-5)
+
+
+def test_panel_epoch_matches_host_epoch(m3500):
+    """The scatter-free panel epoch (panel_epoch.py) must reproduce the
+    float64 host epoch exactly: same ordering (both use the native
+    symbolic phase), same R blocks, y, states, chi2."""
+    import numpy as np
+    from aprilsam_tpu.graph import FactorGraph
+    from aprilsam_tpu.solver import SolverConfig
+    from aprilsam_tpu.solver.state import init_device_state
+    from aprilsam_tpu.solver.ingest import ingest_graph
+    from aprilsam_tpu.solver.batch import run_batch_epoch
+    from aprilsam_tpu.solver.host_batch import host_batch_epoch
+    from aprilsam_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native module unavailable")
+
+    loaded = m3500
+    n = 700
+    sel = np.nonzero(loaded.fnodes[:loaded.nfactors].max(axis=1) < n)[0]
+    g = FactorGraph()
+    for i in range(n):
+        g.add_node(loaded.init[i], init=loaded.init[i])
+    g.add_factor_xytpos(0, np.zeros(3), np.diag([1e4, 1e4, 1e3]))
+    for f in sel:
+        a, b = (int(v) for v in loaded.fnodes[f])
+        g.add_factor_xyt(a, b, loaded.fz[f], loaded.fW[f])
+
+    def fresh(backend):
+        cfg = SolverConfig(dtype=np.float64, node_capacity=1024,
+                           factor_capacity=2048, row_block_capacity=96,
+                           panel_nodes=128, batch_backend=backend)
+        ds = init_device_state(cfg)
+        return cfg, ingest_graph(ds, g, cfg, 0, 0)
+
+    cfg, ds = fresh("panel")
+    ds_p, sym_p, info_p = run_batch_epoch(
+        ds, cfg, g.nnodes, g.ftype[:g.nfactors], g.fnodes[:g.nfactors])
+    cfg2, ds2 = fresh("host")
+    ds_h, sym_h, info_h = host_batch_epoch(
+        ds2, cfg2, g.nnodes, g.ftype[:g.nfactors], g.fnodes[:g.nfactors],
+        g.fz[:g.nfactors], g.fW[:g.nfactors])
+
+    np.testing.assert_array_equal(np.asarray(sym_p.order),
+                                  np.asarray(sym_h.order))
+    assert abs(info_p.chi2 - info_h.chi2) < 1e-6
+    np.testing.assert_allclose(np.asarray(ds_p.R_blocks),
+                               np.asarray(ds_h.R_blocks), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ds_p.y), np.asarray(ds_h.y),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ds_p.state[:n]),
+                               np.asarray(ds_h.state[:n]), atol=1e-8)
