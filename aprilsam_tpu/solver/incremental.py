@@ -349,6 +349,7 @@ def plan_step(
     kfac: Optional[int] = None,
     buckets: Optional[tuple] = None,
     with_tables: bool = False,
+    n_end: Optional[int] = None,
 ) -> Optional[StepPlan]:
     """Host symbolic work for one incremental step.  Returns None when the
     affected set exceeds the largest frontal bucket (caller falls back to a
@@ -364,8 +365,12 @@ def plan_step(
     if buckets is None:
         buckets = cfg.frontal_buckets
 
-    # 1. extend ordering with new nodes (aprilsam.c:392-397)
-    new_ids = list(range(n_old, g.nnodes))
+    # 1. extend ordering with new nodes (aprilsam.c:392-397).  n_end
+    # bounds the span (superstep capacity-flushes dispatch a buffer whose
+    # last entry predates the graph's current tail).
+    if n_end is None:
+        n_end = g.nnodes
+    new_ids = list(range(n_old, n_end))
     # dedup seeds last-wins per destination (the reference applies them in
     # factor order, aprilsam_demo.c:180-191; the kernel applies them as one
     # vectorized scatter, so duplicates must be resolved here).  Seed sources
@@ -1408,7 +1413,7 @@ class IncrementalSolver:
         self._queue: list = []       # planned-but-undispatched bundle slots
         self._queue_sig = None
         self._sbuf: list = []        # buffered raw steps (superstep mode):
-                                     # (f0, f1, n_old, seeds, graph)
+                                     # (f0, f1, n_old, n1, seeds, graph)
         self._sbuf_counts = [0, 0, 0, 0]   # nodes, seeds, xyt, pos
         # wall-clock of the previous dispatch: the dispatch-to-dispatch
         # interval divided by bundle size is the deferred-mode estimate of
@@ -1420,11 +1425,13 @@ class IncrementalSolver:
 
     # ---------------------------------------------------------------
 
-    def _ingest(self, g: FactorGraph):
+    def _ingest(self, g: FactorGraph, to_node: int = None,
+                to_factor: int = None):
         self.ds = ingest_graph(
-            self.ds, g, self.cfg, self._ingested_nodes, self._ingested_factors)
-        self._ingested_nodes = g.nnodes
-        self._ingested_factors = g.nfactors
+            self.ds, g, self.cfg, self._ingested_nodes,
+            self._ingested_factors, to_node, to_factor)
+        self._ingested_nodes = g.nnodes if to_node is None else to_node
+        self._ingested_factors = g.nfactors if to_factor is None else to_factor
 
     def _apply_seeds(self, seeds: Sequence[SeedSpec]):
         """Device-side odometry seeding outside the step kernel (used on the
@@ -1444,7 +1451,8 @@ class IncrementalSolver:
 
     def _ingest_tail_fast(self, g: FactorGraph,
                           seeds: Sequence[SeedSpec],
-                          caps: Optional[Tuple[int, int, int]] = None) -> bool:
+                          caps: Optional[Tuple[int, int, int]] = None,
+                          limits: Optional[Tuple[int, int]] = None) -> bool:
         """Jitted tail ingestion + seeding for the plan-overflow batch path.
         Returns False when the tail exceeds the packing capacities (caller
         then uses the generic eager ingest).  `caps` = (knode, kseed, kfac);
@@ -1456,7 +1464,9 @@ class IncrementalSolver:
         else:
             knode, kseed, K = caps
         n0, f0 = self._ingested_nodes, self._ingested_factors
-        new_ids = list(range(n0, g.nnodes))
+        n_end, f_end = limits if limits is not None else (g.nnodes,
+                                                         g.nfactors)
+        new_ids = list(range(n0, n_end))
         by_dst = {}
         for s in seeds:
             by_dst[s.dst] = s
@@ -1467,7 +1477,7 @@ class IncrementalSolver:
             return False
         nf_a, nf_b, nf_z, nf_W = [], [], [], []
         np_n, np_z, np_W = [], [], []
-        for f in range(f0, g.nfactors):
+        for f in range(f0, f_end):
             a, b = (int(v) for v in g.fnodes[f])
             if g.ftype[f] == FACTOR_XYT:
                 nf_a.append(a)
@@ -1523,8 +1533,8 @@ class IncrementalSolver:
         packed = jnp.asarray(np.concatenate([ints, fbits]))
         self.ds = inc_ingest_tail(self.ds, packed, KNEW=K,
                                   knode=knode, kseed=kseed)
-        self._ingested_nodes = g.nnodes
-        self._ingested_factors = g.nfactors
+        self._ingested_nodes = n_end
+        self._ingested_factors = f_end
         return True
 
     def _grow_row_capacity(self):
@@ -1615,9 +1625,15 @@ class IncrementalSolver:
         return native.available()
 
     def _run_batch(self, g: FactorGraph, record_time: bool = False,
-                   log_mode: int = 0) -> BatchInfo:
-        # queued incremental steps logically precede this batch epoch
+                   log_mode: int = 0, nnodes: int = None,
+                   nfactors: int = None) -> BatchInfo:
+        # queued incremental steps logically precede this batch epoch.
+        # nnodes/nfactors bound the epoch to an already-ingested span (the
+        # superstep overflow fallback; device tables may not yet hold the
+        # caller's pending tail).
         self._dispatch_queue()
+        nn = g.nnodes if nnodes is None else nnodes
+        nf = g.nfactors if nfactors is None else nfactors
         t0 = time.perf_counter()
         while True:
             try:
@@ -1625,14 +1641,14 @@ class IncrementalSolver:
                     from .host_batch import host_batch_epoch
 
                     self.ds, self.sym, info = host_batch_epoch(
-                        self.ds, self.cfg, g.nnodes,
-                        g.ftype[: g.nfactors], g.fnodes[: g.nfactors],
-                        g.fz[: g.nfactors], g.fW[: g.nfactors],
+                        self.ds, self.cfg, nn,
+                        g.ftype[:nf], g.fnodes[:nf],
+                        g.fz[:nf], g.fW[:nf],
                         log_mode=log_mode)
                 else:
                     self.ds, self.sym, info = run_batch_epoch(
-                        self.ds, self.cfg, g.nnodes,
-                        g.ftype[: g.nfactors], g.fnodes[: g.nfactors],
+                        self.ds, self.cfg, nn,
+                        g.ftype[:nf], g.fnodes[:nf],
                         log_mode=log_mode,
                         lazy=self.cfg.policy_lag > 0)
                 break
@@ -1651,8 +1667,8 @@ class IncrementalSolver:
         # the next dispatch interval would include this epoch's time;
         # restart the deferred-gate clock
         self._last_dispatch_t = None
-        self.factor_num = g.nfactors
-        self.node_num = g.nnodes
+        self.factor_num = max(self.factor_num, nf)
+        self.node_num = max(self.node_num, nn)
         self.last_path = "batch"
         self._batch_serial += 1
         self.counters["batch"] += 1
@@ -1860,7 +1876,7 @@ class IncrementalSolver:
         if self._sbuf and (c[0] + n_new > knode or c[1] + len(seeds) > kseed
                            or c[2] + nx > kfac or c[3] + npz > kfac):
             self._dispatch_superstep()
-        self._sbuf.append((f0, f1, n_old, list(seeds), g))
+        self._sbuf.append((f0, f1, n_old, g.nnodes, list(seeds), g))
         c = self._sbuf_counts
         c[0] += n_new
         c[1] += len(seeds)
@@ -1885,9 +1901,9 @@ class IncrementalSolver:
             return
         entries, self._sbuf = self._sbuf, []
         self._sbuf_counts = [0, 0, 0, 0]
-        g = entries[-1][4]
+        g = entries[-1][5]
         f0, n_old = entries[0][0], entries[0][2]
-        f1 = entries[-1][1]
+        f1, n1 = entries[-1][1], entries[-1][3]
         k = len(entries)
 
         # Pre-compose within-bundle seed chains host-side so every seed is
@@ -1898,7 +1914,7 @@ class IncrementalSolver:
         from ..geometry import np_xyt_inv, np_xyt_mul
 
         cur = {}
-        for (_a, _b, _c2, ss, _g2) in entries:
+        for (_a, _b, _c2, _n1, ss, _g2) in entries:
             for s in ss:
                 z_eff = np.asarray(s.z, dtype=np.float64)
                 if s.invert:
@@ -1918,22 +1934,25 @@ class IncrementalSolver:
             plan = plan_step(self.sym, self.cfg, g, f0, f1, n_old, seeds_u,
                              knode=knode, kseed=kseed, kfac=kfac,
                              buckets=self.cfg.effective_superstep_buckets,
-                             with_tables=True)
+                             with_tables=True, n_end=n1)
         except OverflowError:
             plan = None
         if self.tp is not None:
             self.tp.stamp("plan_super")
         if plan is None:
-            # union exceeds the largest bucket -> batch fallback
+            # union exceeds the largest bucket -> batch fallback, bounded
+            # to the buffered span (a capacity-flush dispatches while the
+            # caller's current step is still pending outside the buffer)
             self.counters["sup_overflow"] += 1
             if not self._ingest_tail_fast(g, seeds_u,
-                                          caps=(knode, kseed, kfac)):
-                self._ingest(g)
+                                          caps=(knode, kseed, kfac),
+                                          limits=(n1, f1)):
+                self._ingest(g, to_node=n1, to_factor=f1)
                 self._apply_seeds(seeds_u)
-            self._run_batch(g, record_time=True)
+            self._run_batch(g, record_time=True, nnodes=n1, nfactors=f1)
             return
-        self._ingested_nodes = g.nnodes
-        self._ingested_factors = g.nfactors
+        self._ingested_nodes = n1
+        self._ingested_factors = f1
         self.last_naffected = plan.naffected
         self.counters["superstep"] += 1
         self.counters["sup_m_sum"] += plan.m

@@ -22,30 +22,38 @@ def ingest_graph(
     cfg: SolverConfig,
     from_node: int,
     from_factor: int,
+    to_node: int = None,
+    to_factor: int = None,
 ) -> DeviceState:
+    """to_node/to_factor bound the ingested span (default: the whole graph).
+    Superstep capacity-flushes dispatch a buffer whose last entry predates
+    the caller's current step, so their fallback ingestion must stop at the
+    buffered span rather than swallow the pending step's tail."""
     dt = ds.state.dtype
-    if g.nnodes > cfg.node_capacity:
+    n_end = g.nnodes if to_node is None else to_node
+    f_end = g.nfactors if to_factor is None else to_factor
+    if n_end > cfg.node_capacity:
         raise OverflowError(
-            f"{g.nnodes} nodes exceed node_capacity {cfg.node_capacity}"
+            f"{n_end} nodes exceed node_capacity {cfg.node_capacity}"
         )
 
-    if g.nnodes > from_node:
-        sl = slice(from_node, g.nnodes)
-        idx = jnp.arange(from_node, g.nnodes)
+    if n_end > from_node:
+        sl = slice(from_node, n_end)
+        idx = jnp.arange(from_node, n_end)
         st = jnp.asarray(g.state[sl], dtype=dt)
         lp = jnp.asarray(g.l_point[sl], dtype=dt)
         ds = ds._replace(
             state=ds.state.at[idx].set(st),
             l_point=ds.l_point.at[idx].set(lp),
             delta_X=ds.delta_X.at[idx].set(0.0),
-            nnodes=jnp.int32(g.nnodes),
+            nnodes=jnp.int32(n_end),
         )
 
-    if g.nfactors > from_factor:
-        types = g.ftype[from_factor : g.nfactors]
-        nodes = g.fnodes[from_factor : g.nfactors]
-        z = g.fz[from_factor : g.nfactors]
-        W = g.fW[from_factor : g.nfactors]
+    if f_end > from_factor:
+        types = g.ftype[from_factor : f_end]
+        nodes = g.fnodes[from_factor : f_end]
+        z = g.fz[from_factor : f_end]
+        W = g.fW[from_factor : f_end]
 
         m_xyt = types == FACTOR_XYT
         k_xyt = int(np.sum(m_xyt))

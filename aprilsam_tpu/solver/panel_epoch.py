@@ -55,7 +55,7 @@ def panel_caps(npanb: int, panel: int) -> Tuple[int, int, int, int, int]:
     contributions per node); a plan exceeding them falls back to the host
     (or dense) epoch for that round."""
     mc = 64 * npanb if npanb <= 16 else (1024 if npanb <= 64 else 2048)
-    nu = 32 * npanb if npanb <= 16 else (512 if npanb <= 64 else 1024)
+    nu = 32 * npanb if npanb <= 16 else (768 if npanb <= 64 else 1024)
     mult = 32
     kexta = 8 * panel * npanb
     nfac3 = 8 * panel * npanb

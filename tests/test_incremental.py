@@ -659,3 +659,53 @@ def test_superstep_m3500_bench_config():
     rep.run(max_steps=K)
     chi2 = rep.solver.chi2()
     assert abs(chi2 - golden[K - 1]) < 0.05, (chi2, golden[K - 1])
+
+
+def test_superstep_capacity_flush_ingests_everything():
+    """Regression: a capacity-triggered superstep flush dispatches a buffer
+    whose span predates the caller's pending step; the ingestion markers
+    must track the BUFFERED span, or the union-overflow fallback silently
+    skips the pending step's factors (found as a missing device factor
+    3400 steps into the M3500 replay)."""
+    n = 30
+    g = chain_graph(n, y_noise=0.05, seed=11)
+    cfg = small_cfg(nthreshold=10**9, log_chi2=False, superstep_size=4,
+                    superstep_buckets=(16, 32), policy_lag=1, policy_poll=1)
+    s = IncrementalSolver(cfg)
+    s.solve(g)
+    rng = np.random.default_rng(5)
+    for k in range(12):
+        # several factors per step to force capacity flushes; long-range
+        # closures to force union overflows (largest bucket 32)
+        a = int(rng.integers(0, n - 10))
+        b = int(rng.integers(a + 5, n))
+        z = np_xyt_inv_mul(g.init[a], g.init[b]) + np.array([0.02, -0.01, 0.005])
+        g.add_factor_xyt(a, b, z, W_ODO)
+        c = int(rng.integers(0, n - 1))
+        z2 = np_xyt_inv_mul(g.init[c], g.init[c + 1])
+        g.add_factor_xyt(c, c + 1, z2, W_ODO)
+        s.update(g)
+    s.flush(g)
+    from aprilsam_tpu.graph import FACTOR_XYT
+
+    nx_host = int(np.sum(g.ftype[: g.nfactors] == FACTOR_XYT))
+    np_host = g.nfactors - nx_host
+    assert int(s.ds.n_xyt) == nx_host, (int(s.ds.n_xyt), nx_host)
+    assert int(s.ds.n_pos) == np_host
+    assert int(s.ds.nnodes) == g.nnodes
+    # trajectory must match a per-step run's solution (same graph)
+    s2 = IncrementalSolver(small_cfg(nthreshold=10**9, log_chi2=False))
+    g2 = chain_graph(n, y_noise=0.05, seed=11)
+    s2.solve(g2)
+    rng = np.random.default_rng(5)
+    for k in range(12):
+        a = int(rng.integers(0, n - 10))
+        b = int(rng.integers(a + 5, n))
+        z = np_xyt_inv_mul(g2.init[a], g2.init[b]) + np.array([0.02, -0.01, 0.005])
+        g2.add_factor_xyt(a, b, z, W_ODO)
+        c = int(rng.integers(0, n - 1))
+        z2 = np_xyt_inv_mul(g2.init[c], g2.init[c + 1])
+        g2.add_factor_xyt(c, c + 1, z2, W_ODO)
+        s2.update(g2)
+    s2.flush(g2)
+    assert abs(s.chi2() - s2.chi2()) < 0.02, (s.chi2(), s2.chi2())
