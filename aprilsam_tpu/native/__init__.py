@@ -62,6 +62,9 @@ def _load():
         lib.asn_order_md.restype = ctypes.c_int
         lib.asn_order_md.argtypes = [ctypes.c_int32, _i32, _i32, _i32]
 
+        lib.asn_order_heapmd.restype = ctypes.c_int
+        lib.asn_order_heapmd.argtypes = [ctypes.c_int32, _i32, _i32, _i32]
+
         lib.asn_symbolic.restype = ctypes.c_int
         lib.asn_symbolic.argtypes = [
             ctypes.c_int32, _i32, _i32, _i32, ctypes.c_int32,
@@ -96,13 +99,20 @@ def available() -> bool:
     return _load() is not None
 
 
-def order_md(n: int, adj_ptr: np.ndarray, adj_idx: np.ndarray) -> np.ndarray:
+def order_md(n: int, adj_ptr: np.ndarray, adj_idx: np.ndarray,
+             style: str = "md") -> np.ndarray:
+    """Fill-reducing ordering.  style="md" = exact minimum degree with
+    lazy re-evaluation (newest-last); style="heapmd" = the reference's
+    bucketed heap scheme with the +rowi recency bias
+    (heap_minimum_degree_ordering, aprilsam.c:989-1249) for exact-ordering
+    parity runs."""
     lib = _load()
     out = np.zeros(n, dtype=np.int32)
-    rc = lib.asn_order_md(n, np.ascontiguousarray(adj_ptr, np.int32),
-                          np.ascontiguousarray(adj_idx, np.int32), out)
+    fn = lib.asn_order_heapmd if style == "heapmd" else lib.asn_order_md
+    rc = fn(n, np.ascontiguousarray(adj_ptr, np.int32),
+            np.ascontiguousarray(adj_idx, np.int32), out)
     if rc != 0:
-        raise RuntimeError("asn_order_md failed")
+        raise RuntimeError("native ordering failed")
     return out
 
 

@@ -781,3 +781,179 @@ int asn_plan_step(int32_t nn, int32_t ncap, int32_t bcap,
     nfr_out[0] = nfr;
     return 0;
 }
+
+/* ================================================================== */
+/* Reference-style bucketed heap minimum degree (exact-ordering parity
+ * mode).  Replicates heap_minimum_degree_ordering (reference:
+ * aprilsam.c:989-1249): degree buckets in a key->FIFO-queue map driven
+ * by a heap of keys (smallest key first); the NEWEST node is keyed
+ * nneighbors + 2*(n-1) so it eliminates last; nodes within +-5 ids of
+ * the newest node's neighbors get the +rowi recency bias (key =
+ * nneighbors + n-1), including the reference's inner loop that biases
+ * nodes 0..deg-1 by LOOP INDEX (a faithful reproduction of the
+ * published code's indexing, aprilsam.c:1080-1093); elimination
+ * marginalizes the node (neighbors pairwise connected, set-token dedup,
+ * shuffle-delete) and stale-degree nodes are re-queued at their current
+ * degree.  The published code destroys popped queues while the hash
+ * still references them (use-after-free) — this implementation keeps
+ * one persistent FIFO per key, which is the defined behavior closest to
+ * the code's intent; orderings therefore match the reference's CHOICES,
+ * not its heap-allocator accidents. */
+
+typedef struct { int32_t node; int32_t next; } qent_t;
+
+int asn_order_heapmd(int32_t n, const int32_t *adj_ptr,
+                     const int32_t *adj_idx, int32_t *order_out)
+{
+    if (n <= 0) return 0;
+    if (n == 1) { order_out[0] = 0; return 0; }
+
+    /* neighbor lists (self excluded), shuffle-delete semantics */
+    int32_t *ncnt = (int32_t *)malloc(sizeof(int32_t) * n);
+    int32_t *ncap = (int32_t *)malloc(sizeof(int32_t) * n);
+    int32_t **nbr = (int32_t **)malloc(sizeof(int32_t *) * n);
+    for (int i = 0; i < n; i++) {
+        int deg = adj_ptr[i + 1] - adj_ptr[i];
+        ncap[i] = deg * 2 + 8;
+        nbr[i] = (int32_t *)malloc(sizeof(int32_t) * ncap[i]);
+        ncnt[i] = 0;
+        for (int k = adj_ptr[i]; k < adj_ptr[i + 1]; k++)
+            if (adj_idx[k] != i) nbr[i][ncnt[i]++] = adj_idx[k];
+    }
+
+    /* key -> persistent FIFO queue (linked entries in a growable pool) */
+    int64_t maxkey = 3LL * n + 8;
+    int32_t *qhead = (int32_t *)malloc(sizeof(int32_t) * maxkey);
+    int32_t *qtail = (int32_t *)malloc(sizeof(int32_t) * maxkey);
+    uint8_t *inheap = (uint8_t *)calloc(maxkey, 1);
+    for (int64_t k = 0; k < maxkey; k++) { qhead[k] = -1; qtail[k] = -1; }
+    int pool_cap = 4 * n + 64, pool_n = 0;
+    qent_t *pool = (qent_t *)malloc(sizeof(qent_t) * pool_cap);
+
+    /* min-heap of keys */
+    int64_t *hk = (int64_t *)malloc(sizeof(int64_t) * (2 * maxkey + 8));
+    int hn = 0;
+
+#define HPUSH(K) do { \
+        int64_t _hk2 = (K); int _i = hn++; hk[_i] = _hk2; \
+        while (_i > 0 && hk[(_i - 1) / 2] > hk[_i]) { \
+            int64_t _t = hk[(_i - 1) / 2]; hk[(_i - 1) / 2] = hk[_i]; \
+            hk[_i] = _t; _i = (_i - 1) / 2; } \
+    } while (0)
+
+#define QADD(K, NODE) do { \
+        int64_t _k = (K); \
+        if (pool_n >= pool_cap) { \
+            pool_cap *= 2; \
+            pool = (qent_t *)realloc(pool, sizeof(qent_t) * pool_cap); } \
+        int _e = pool_n++; \
+        pool[_e].node = (NODE); pool[_e].next = -1; \
+        if (qtail[_k] >= 0) pool[qtail[_k]].next = _e; else qhead[_k] = _e; \
+        qtail[_k] = _e; \
+        if (!inheap[_k]) { inheap[_k] = 1; HPUSH(_k); } \
+    } while (0)
+
+    uint8_t *set_marker = (uint8_t *)calloc(n, 1);
+
+    /* newest node: key = deg + 2*rowi (aprilsam.c:1023-1037) */
+    {
+        int rowi = n - 1;
+        QADD((int64_t)ncnt[rowi] + 2 * rowi, rowi);
+        set_marker[rowi] = 1;
+        for (int i = 0; i < ncnt[rowi]; i++) {
+            int32_t ch = nbr[rowi][i];
+            for (int idx = ch - 5; idx < ch + 5; idx++) {
+                if (idx < 0 || idx > n - 1) continue;
+                if (set_marker[idx]) continue;
+                QADD((int64_t)ncnt[idx] + rowi, idx);
+                set_marker[idx] = 1;
+                /* the published inner loop biases nodes 0..deg(idx)-1 by
+                 * LOOP INDEX (aprilsam.c:1080-1093) — reproduced as-is */
+                for (int j = 0; j < ncnt[idx]; j++) {
+                    if (j < n && set_marker[j]) continue;
+                    if (j >= n) continue;
+                    QADD((int64_t)ncnt[j] + rowi, j);
+                }
+            }
+        }
+    }
+    for (int rowi = 0; rowi < n - 1; rowi++) {
+        if (set_marker[rowi]) continue;
+        QADD((int64_t)ncnt[rowi], rowi);
+    }
+    free(set_marker);
+
+    uint8_t *eliminated = (uint8_t *)calloc(n, 1);
+    int32_t *set = (int32_t *)calloc(n, sizeof(int32_t));
+    int32_t settoken = 0;
+    int k_out = 0;
+
+    while (hn > 0) {
+        int64_t key = hk[0];
+        /* pop root */
+        hk[0] = hk[--hn];
+        {
+            int i = 0;
+            for (;;) {
+                int l = 2 * i + 1, r = l + 1, m = i;
+                if (l < hn && hk[l] < hk[m]) m = l;
+                if (r < hn && hk[r] < hk[m]) m = r;
+                if (m == i) break;
+                int64_t t = hk[i]; hk[i] = hk[m]; hk[m] = t;
+            }
+        }
+        inheap[key] = 0;
+        int32_t e = qhead[key];
+        qhead[key] = -1; qtail[key] = -1;
+        while (e >= 0) {
+            int32_t node = pool[e].node;
+            e = pool[e].next;
+            if (eliminated[node]) continue;
+            if ((int64_t)ncnt[node] <= key) {
+                order_out[k_out++] = node;
+                eliminated[node] = 1;
+                /* marginalize (aprilsam.c:1147-1200) */
+                for (int ai = 0; ai < ncnt[node]; ai++) {
+                    int32_t na = nbr[node][ai];
+                    settoken++;
+                    for (int i = 0; i < ncnt[na]; i++) {
+                        if (nbr[na][i] == node) {
+                            nbr[na][i] = nbr[na][ncnt[na] - 1];
+                            ncnt[na]--;
+                            i--;
+                            continue;
+                        }
+                        set[nbr[na][i]] = settoken;
+                    }
+                    set[node] = settoken;
+                    set[na] = settoken;
+                    for (int bi = 0; bi < ncnt[node]; bi++) {
+                        int32_t nb = nbr[node][bi];
+                        if (set[nb] == settoken) continue;
+                        if (ncnt[na] + 1 >= ncap[na]) {
+                            ncap[na] *= 2;
+                            nbr[na] = (int32_t *)realloc(
+                                nbr[na], sizeof(int32_t) * ncap[na]);
+                        }
+                        nbr[na][ncnt[na]++] = nb;
+                    }
+                }
+            } else {
+                /* stale degree: re-queue at the current degree
+                 * (aprilsam.c:1226-1239) */
+                QADD((int64_t)ncnt[node], node);
+            }
+        }
+    }
+    /* any node never popped (unreachable in practice) appends in id order */
+    for (int i = 0; i < n; i++)
+        if (!eliminated[i]) order_out[k_out++] = i;
+
+#undef QADD
+#undef HPUSH
+    for (int i = 0; i < n; i++) free(nbr[i]);
+    free(nbr); free(ncnt); free(ncap);
+    free(qhead); free(qtail); free(inheap); free(pool); free(hk);
+    free(eliminated); free(set);
+    return (k_out == n) ? 0 : -1;
+}

@@ -296,7 +296,8 @@ def run_batch_epoch(
         from .host_batch import _adjacency_csr
 
         adj_ptr, adj_idx = _adjacency_csr(nnodes, ftypes, fnodes)
-        order = native.order_md(nnodes, adj_ptr, adj_idx)
+        order = native.order_md(nnodes, adj_ptr, adj_idx,
+                                style=cfg.ordering)
         patterns, nnz, parents, _mx = native.symbolic(
             nnodes, adj_ptr, adj_idx, order, BCAP)
         pos = np.empty(nnodes, dtype=np.int32)

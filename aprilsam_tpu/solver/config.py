@@ -108,6 +108,14 @@ class SolverConfig:
             return self.row_block_capacity
         return self.ridx_pack_capacity
 
+    # Fill-reducing ordering style: "md" = exact minimum degree with lazy
+    # re-evaluation (newest-last; better fill); "heapmd" = the reference's
+    # bucketed heap scheme with the +rowi recency bias
+    # (heap_minimum_degree_ordering, aprilsam.c:989-1249) for
+    # exact-ordering parity runs — the per-step trajectory then tracks the
+    # C reference's elimination choices, not just its optimum.
+    ordering: str = "md"
+
     # --- numerics ---
     dtype: np.dtype = np.float64   # float32 on TPU for speed, float64 for parity tests
     # Gauss-Newton iterations per batch epoch.  None => 1 (exact one-step

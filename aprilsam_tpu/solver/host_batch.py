@@ -163,7 +163,8 @@ def host_batch_epoch(
     BCAP = cfg.row_block_capacity
 
     adj_ptr, adj_idx = _adjacency_csr(nnodes, ftypes, fnodes)
-    order = native.order_md(nnodes, adj_ptr, adj_idx)
+    order = native.order_md(nnodes, adj_ptr, adj_idx,
+                            style=cfg.ordering)
     patterns, nnz, parents, maxnnz = native.symbolic(
         nnodes, adj_ptr, adj_idx, order, BCAP)
 
