@@ -258,6 +258,12 @@ def _batch_step(
     return ds, chi2, spd
 
 
+class PanelFallbackError(RuntimeError):
+    """Panel epoch plan exceeded its derived capacities AND the dense
+    bucketed fallback would not fit device memory — the caller should use
+    the float64 host epoch for this round."""
+
+
 class BatchInfo(NamedTuple):
     chi2: float
     spd: bool
@@ -340,6 +346,10 @@ def run_batch_epoch(
                     return ds, sym, BatchInfo(chi2=chi2, spd=spd, n=nnodes)
                 return ds, sym, BatchInfo(chi2=float(chi2), spd=bool(spd),
                                           n=nnodes)
+            if 3 * node_bucket(nnodes, NCAP) > 16384:
+                # dense [3MB, 3MB] would exceed ~10 GB f32
+                raise PanelFallbackError(
+                    f"panel plan overflow at n={nnodes}; dense infeasible")
 
         ext_p, ext_slot = np.nonzero(valid)
         ext_p = ext_p.astype(np.int32)

@@ -61,7 +61,7 @@ import numpy as np
 from ..geometry import mod2pi, xyt_inv, xyt_mul
 from ..graph import FactorGraph, FACTOR_XYT, FACTOR_XYTPOS
 from ..factors import eval_xyt, eval_xytpos
-from .batch import BatchInfo, run_batch_epoch
+from .batch import BatchInfo, PanelFallbackError, run_batch_epoch
 from .config import SolverConfig
 from .ingest import ingest_graph
 from .state import DeviceState, init_device_state, state_chi2
@@ -1646,11 +1646,21 @@ class IncrementalSolver:
                         g.fz[:nf], g.fW[:nf],
                         log_mode=log_mode)
                 else:
-                    self.ds, self.sym, info = run_batch_epoch(
-                        self.ds, self.cfg, nn,
-                        g.ftype[:nf], g.fnodes[:nf],
-                        log_mode=log_mode,
-                        lazy=self.cfg.policy_lag > 0)
+                    try:
+                        self.ds, self.sym, info = run_batch_epoch(
+                            self.ds, self.cfg, nn,
+                            g.ftype[:nf], g.fnodes[:nf],
+                            log_mode=log_mode,
+                            lazy=self.cfg.policy_lag > 0)
+                    except PanelFallbackError:
+                        # panel caps exceeded at a scale where the dense
+                        # bucketed epoch cannot fit: float64 host epoch
+                        from .host_batch import host_batch_epoch
+
+                        self.ds, self.sym, info = host_batch_epoch(
+                            self.ds, self.cfg, nn,
+                            g.ftype[:nf], g.fnodes[:nf],
+                            g.fz[:nf], g.fW[:nf], log_mode=log_mode)
                 break
             except OverflowError:
                 self._grow_row_capacity()

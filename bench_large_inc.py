@@ -78,8 +78,9 @@ def main():
         row_block_capacity=96,
         panel_nodes=args.panel_nodes,
         wallclock_gate=False,
-        policy_lag=16, bundle_size=32, policy_poll=64,
+        policy_lag=2, policy_poll=1, superstep_size=32,
         log_chi2=bool(args.log_chi2),
+        batch_backend="auto" if platform == "cpu" else "panel",
     )
 
     plan_t = [0.0, 0]
