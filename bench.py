@@ -132,13 +132,15 @@ def worker() -> int:
                                 # trajectory; test_superstep_m3500_bench_config
                                 # pins the drift and the CHI2_BAND guards
                                 # the full replay.
-        policy_lag=2,           # supersteps are 32 steps each, so a lag of
-                                # 2 supersteps bounds policy delay at ~96
-                                # steps; deeper lag measurably drifts the
-                                # trajectory (batches fire late, affected
-                                # sets grow)
+        policy_lag=2,           # two supersteps of policy lag (~128 steps
+                                # at superstep_size=64): lag=1 forces the
+                                # drain to block on the previous superstep
+                                # and stalls the pipeline (measured 661 vs
+                                # 947 poses/s); deeper lag drifts the
+                                # trajectory (batches fire late, chi2 ~79
+                                # at 256-step delay)
         policy_poll=1,          # one ~1 ms policy d2h per superstep
-        superstep_size=32,      # a whole bundle of steps as ONE joint
+        superstep_size=64,      # a whole bundle of steps as ONE joint
                                 # frontal update + one sweep (see the
                                 # superstep section of incremental.py):
                                 # replaces 32 serialized slot bodies and

@@ -654,7 +654,7 @@ def test_superstep_m3500_bench_config():
     K = 600
     cfg = SolverConfig(
         wallclock_gate=False, policy_lag=2, policy_poll=1,
-        superstep_size=32, log_chi2=False)
+        superstep_size=64, log_chi2=False)
     rep = Replay(load_g2o_text(M3500_TXT), cfg, deferred=True)
     rep.run(max_steps=K)
     chi2 = rep.solver.chi2()
