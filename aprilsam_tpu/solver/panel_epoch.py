@@ -127,36 +127,39 @@ def build_panel_plan(
     pan_of_col = cols_i // PANEL
     pan_of_row = rows_i // PANEL
     off_pan = pan_of_col > pan_of_row                     # strictly later
-    crow_list = [[] for _ in range(npanb)]
-    ucol_sets = [None] * npanb
-    # contributors: (row, target panel) pairs, deduped
-    pairs = np.unique(
-        np.stack([pan_of_col[off_pan], rows_i[off_pan]], axis=1), axis=0)
-    mc = np.zeros(npanb, dtype=np.int64)
-    for p in range(npanb):
-        sel = pairs[:, 0] == p
-        crow_list[p] = pairs[sel, 1]
-        mc[p] = sel.sum()
+    # contributors: (target panel, row) pairs deduped via one sorted-key
+    # unique; ragged-to-padded by segment offset arithmetic (the former
+    # per-panel python loops cost ~15 ms per epoch at M3500 scale)
+    pkey = pan_of_col[off_pan].astype(np.int64) * NCAP + rows_i[off_pan]
+    pkey = np.unique(pkey)
+    ppan = (pkey // NCAP).astype(np.int64)
+    prow_c = (pkey % NCAP).astype(np.int32)
+    mc = np.bincount(ppan, minlength=npanb).astype(np.int64)
+    if len(mc) > npanb:
+        return None
+    pstart = np.concatenate([[0], np.cumsum(mc)])
     # union tails: columns beyond the row's own panel end, grouped by the
     # ROW's panel (these are the tail columns panel `pan_of_row` must fill)
-    umask = pan_of_col > pan_of_row
-    nu = np.zeros(npanb, dtype=np.int64)
-    for p in range(npanb):
-        sel = (pan_of_row == p) & umask
-        u = np.unique(cols_i[sel])
-        ucol_sets[p] = u
-        nu[p] = len(u)
+    ukey = np.unique(
+        pan_of_row[off_pan].astype(np.int64) * (NCAP + 1) + cols_i[off_pan])
+    upan = (ukey // (NCAP + 1)).astype(np.int64)
+    ucol_v = (ukey % (NCAP + 1)).astype(np.int32)
+    nu = np.bincount(upan, minlength=npanb).astype(np.int64)
+    if len(nu) > npanb:
+        return None
+    ustart = np.concatenate([[0], np.cumsum(nu)])
 
     mc_cap, nu_cap, mult_cap, kexta, nfac3 = panel_caps(npanb, PANEL)
-    if int(mc.max()) > mc_cap or int(nu.max()) > nu_cap \
+    if int(mc.max(initial=0)) > mc_cap or int(nu.max(initial=0)) > nu_cap \
             or kexta_live > kexta:
         return None
 
     crow = np.full((npanb, mc_cap), NCAP - 1, dtype=np.int32)
     ucols = np.full((npanb, nu_cap), NCAP, dtype=np.int32)
-    for p in range(npanb):
-        crow[p, : mc[p]] = crow_list[p]
-        ucols[p, : nu[p]] = ucol_sets[p]
+    slot_p = np.arange(len(prow_c), dtype=np.int64) - pstart[ppan]
+    crow[ppan, slot_p] = prow_c
+    slot_u = np.arange(len(ucol_v), dtype=np.int64) - ustart[upan]
+    ucols[upan, slot_u] = ucol_v
 
     # ---- contribution -> compact-A segment tables --------------------
     # Contribution SOURCE indices address the device-side concatenation
