@@ -334,6 +334,10 @@ def run_batch_epoch(
 
             plan = build_panel_plan(cfg, nnodes, sym, sym.pad_idx,
                                     sym.pad_nnz, ftypes, fnodes)
+            if plan is None:
+                # escalate to the roomy grade-1 caps before giving up
+                plan = build_panel_plan(cfg, nnodes, sym, sym.pad_idx,
+                                        sym.pad_nnz, ftypes, fnodes, grade=1)
             if plan is not None:
                 b16, b32 = pack_pep(plan, NCAP, BCAP, log_mode)
                 ds, chi2, spd = panel_epoch_step(

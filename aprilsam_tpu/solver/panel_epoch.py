@@ -47,16 +47,23 @@ def _bucket_pow2(v: int, lo: int) -> int:
     return b
 
 
-def panel_caps(npanb: int, panel: int) -> Tuple[int, int, int, int, int]:
-    """Static capacities derived from the active panel count ALONE, so the
-    epoch executable ladder has a single axis (one compile per npanb
-    doubling).  Formulas sized from measured M3500 plans (mc saturates at
-    1024, nu at 512, mult at 16, ~6.5 mean pattern nnz and ~4.9
-    contributions per node); a plan exceeding them falls back to the host
-    (or dense) epoch for that round."""
+def panel_caps(npanb: int, panel: int,
+               grade: int = 0) -> Tuple[int, int, int, int, int]:
+    """Static capacities derived from the active panel count (one compile
+    per npanb doubling) plus an escalation grade.  Grade 0 is sized tight
+    to measured M3500 plans (mc max 879, nu max 474, contribution
+    multiplicity max 9) — the strip/Gram/writeback work per panel scales
+    with nu and the assembly gather with mult, so tight caps are a direct
+    ~30% epoch saving.  A plan that overflows grade 0 retries at grade 1
+    (the former roomy caps) before falling back to the host/dense epoch;
+    the escalated executables compile lazily on first use."""
     mc = 64 * npanb if npanb <= 16 else (1024 if npanb <= 64 else 2048)
-    nu = 32 * npanb if npanb <= 16 else (768 if npanb <= 64 else 1024)
-    mult = 32
+    if grade == 0:
+        nu = 32 * npanb if npanb <= 16 else (512 if npanb <= 64 else 1024)
+        mult = 16
+    else:
+        nu = 48 * npanb if npanb <= 16 else (768 if npanb <= 64 else 1536)
+        mult = 32
     kexta = 8 * panel * npanb
     nfac3 = 8 * panel * npanb
     return mc, nu, mult, kexta, nfac3
@@ -94,6 +101,7 @@ def build_panel_plan(
     pad_nnz: np.ndarray,
     ftypes: np.ndarray,
     fnodes: np.ndarray,
+    grade: int = 0,
 ) -> PanelEpochPlan:
     """Panel metadata from the symbolic pattern + factor table (vectorized
     numpy; ~a few ms at M3500 scale)."""
@@ -149,7 +157,7 @@ def build_panel_plan(
         return None
     ustart = np.concatenate([[0], np.cumsum(nu)])
 
-    mc_cap, nu_cap, mult_cap, kexta, nfac3 = panel_caps(npanb, PANEL)
+    mc_cap, nu_cap, mult_cap, kexta, nfac3 = panel_caps(npanb, PANEL, grade)
     if int(mc.max(initial=0)) > mc_cap or int(nu.max(initial=0)) > nu_cap \
             or kexta_live > kexta:
         return None
