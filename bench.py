@@ -195,30 +195,45 @@ def worker() -> int:
     _p("precompile_expand", n=nexp)
     del warm
 
-    rep = Replay(loaded, cfg, batch_update_only=False, deferred=True)
-    t0 = time.perf_counter()
-    n = 0
-    while True:
-        res = rep.step()
-        if res is None:
-            break
-        n += 1
-        if n == 1 or n % 250 == 0:
-            # dispatch-side progress (device may lag by <= a bundle); lets
-            # the orchestrator salvage a partial number if the relay dies
-            _p("replay", steps=n, elapsed_s=time.perf_counter() - t0,
-               platform=platform)
-    # flush queued bundles and wait for the device INSIDE the clock (the
-    # optimizer isn't done until its dispatched work is), then read the
-    # final chi2 off the clock — the reference also computes chi2 outside
-    # its step timer (aprilsam_demo.c:229-232)
-    rep.solver.flush(rep.graph)
-    jax.block_until_ready(rep.solver.ds.state)
-    total_s = time.perf_counter() - t0
+    # VERDICT r4 weak #6: a single timed run under-reported the build by
+    # ~12% pure relay variance.  Run the full timed replay N times in this
+    # (warm) worker and report the MEDIAN, with per-run rates in the unit
+    # string.  CPU runs once (the fallback run costs ~7 min).
+    n_runs = 3 if platform != "cpu" else 1
+    runs = []
+    for r in range(n_runs):
+        rep = Replay(loaded, cfg, batch_update_only=False, deferred=True)
+        t0 = time.perf_counter()
+        n = 0
+        while True:
+            res = rep.step()
+            if res is None:
+                break
+            n += 1
+            if n == 1 or n % 250 == 0:
+                # dispatch-side progress (device may lag by <= a bundle);
+                # lets the orchestrator salvage a partial number if the
+                # relay dies
+                _p("replay", steps=n, run=r,
+                   elapsed_s=time.perf_counter() - t0, platform=platform)
+        # flush queued bundles and wait for the device INSIDE the clock
+        # (the optimizer isn't done until its dispatched work is), then
+        # read the final chi2 off the clock — the reference also computes
+        # chi2 outside its step timer (aprilsam_demo.c:229-232)
+        rep.solver.flush(rep.graph)
+        jax.block_until_ready(rep.solver.ds.state)
+        total_s = time.perf_counter() - t0
+        final_chi2 = rep.solver.chi2()
+        runs.append((n / total_s, final_chi2, n, total_s))
+        _p("run_done", run=r, poses_per_sec=runs[-1][0],
+           final_chi2=final_chi2)
+        del rep
 
-    final_chi2 = rep.solver.chi2()
-    poses_per_sec = n / total_s
-    ok = CHI2_BAND[0] <= final_chi2 <= CHI2_BAND[1]
+    runs_by_rate = sorted(runs)
+    med = runs_by_rate[len(runs_by_rate) // 2]
+    poses_per_sec, final_chi2, n, total_s = med
+    # chi2 parity must hold on EVERY run, not just the median one
+    ok = all(CHI2_BAND[0] <= c <= CHI2_BAND[1] for _, c, _, _ in runs)
 
     print("RESULT " + json.dumps({
         "poses_per_sec": poses_per_sec,
@@ -227,6 +242,7 @@ def worker() -> int:
         "total_s": total_s,
         "platform": platform,
         "chi2_ok": ok,
+        "runs": [round(x[0], 2) for x in runs],
     }), flush=True)
     return 0
 
@@ -370,11 +386,13 @@ def main() -> int:
             tag = f"attempt={attempt}"
             if result:
                 ok = result.get("chi2_ok", False)
+                runs = result.get("runs", [result["poses_per_sec"]])
                 _emit(
                     "m3500_incremental_replay_poses_per_sec"
                     + ("" if ok else "_CHI2_PARITY_FAIL"),
                     result["poses_per_sec"],
-                    f"poses/s (final_chi2={result['final_chi2']:.3f}, "
+                    f"poses/s (median of {len(runs)} runs {runs}, "
+                    f"final_chi2={result['final_chi2']:.3f}, "
                     f"platform={result['platform']}, "
                     f"steps={result['steps']}, {tag})",
                 )
