@@ -733,3 +733,26 @@ def test_m3500_incremental_replay_long_envelope(m3500):
     assert d.max() < 3.5, (d.max(), int(d.argmax()))
     # the trajectory re-converges: final value tight
     assert d[-1] < 0.05, (ours[-1], golden[K - 1])
+
+
+def test_m3500_heapmd_replay_envelope(m3500):
+    """VERDICT r4 weak #3 / next #5(b): the heapmd parity mode must track
+    the per-step golden at least as tightly as the default md ordering.
+    Same protocol as test_m3500_incremental_replay_long_envelope but with
+    SolverConfig(ordering="heapmd"); ROADMAP measured identical max drift
+    at the same step (batch-trigger timing, ordering-independent) — this
+    pins that claim in CI."""
+    golden = np.loadtxt("tests/golden/m3500_inc_nogate_chi2.txt")
+    K = 1200
+    cfg = small_cfg(node_capacity=4096, factor_capacity=8192,
+                    row_block_capacity=96, panel_nodes=128,
+                    ordering="heapmd")
+    rep = Replay(m3500, cfg, batch_update_only=False)
+    res = rep.run(max_steps=K)
+    ours = np.array([r.chi2 for r in res])
+    d = np.abs(ours - golden[:K])
+    # the md run's measured prefix envelope (p50 0.179, max 3.04): heapmd
+    # must stay within the same bounds
+    assert np.percentile(d, 50) < 0.3, np.percentile(d, 50)
+    assert d.max() < 3.5, (d.max(), int(d.argmax()))
+    assert d[-1] < 0.05, (ours[-1], golden[K - 1])
