@@ -71,3 +71,59 @@ def panel_backsub(R_blocks, R_idx, y, n, PANEL: int, NPANB: int):
 
     xb, _ = jax.lax.scan(panel_body, xb, jnp.arange(NPANB))
     return xb[:NCAP]
+
+
+def panel_backsub_windowed(R_blocks, R_idx, y, x_prev, panels, n,
+                           PANEL: int, PW: int):
+    """Back-substitution restricted to a WINDOW of panels — the TPU analogue
+    of the reference's pruned tree-gated descent (solve_node,
+    aprilsam.c:721-779): only the listed panels' x is recomputed; pattern
+    columns landing outside the window read the previous solution x_prev.
+
+    `panels` [PW] holds DESCENDING panel indices (pad -1 = skip).  Because
+    affected sets are ancestor-closed and R-row patterns only reference
+    etree ancestors, the recomputed x is EXACT for every affected position
+    when the window covers the affected panels; non-window positions keep
+    their (slightly stale) x_prev — the same approximation the reference's
+    delta-delta early-exit makes (aprilsam.c:755-772), at panel
+    granularity.  Cost is O(PW), independent of the trajectory length.
+
+    x_prev [NCAP, 3] is the previous solution in POSITION space.  Returns
+    the updated x (position space).
+    """
+    NCAP = R_blocks.shape[0]
+    dtype = R_blocks.dtype
+    NP3 = 3 * PANEL
+
+    xb = jnp.concatenate([x_prev, jnp.zeros((1, 3), dtype=dtype)], axis=0)
+
+    def panel_body(xb, j):
+        live = j >= 0
+        p0 = jnp.maximum(j, 0) * PANEL
+        rows = jax.lax.dynamic_slice_in_dim(R_blocks, p0, PANEL, 0)
+        idx = jax.lax.dynamic_slice_in_dim(R_idx, p0, PANEL, 0)
+        yp = jax.lax.dynamic_slice_in_dim(y, p0, PANEL, 0)
+        beyond = idx >= (p0 + PANEL)
+        xg = xb[jnp.clip(idx, 0, NCAP)]
+        acc = jnp.einsum("pbij,pbj->pi", rows,
+                         jnp.where(beyond[..., None], xg, 0.0))
+        prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
+        active = jnp.repeat(prow < n, 3)
+        rhs = jnp.where(active, (yp - acc).reshape(-1), 0.0)
+        # panel diagonal triangle via in-panel one-hot (single panel)
+        loc = idx - p0
+        inpan = (loc >= 0) & (loc < PANEL)
+        oh = jax.nn.one_hot(jnp.where(inpan, loc, 0), PANEL,
+                            dtype=dtype) * inpan[..., None]
+        T = jnp.einsum("pbij,pbc->pcij", rows, oh)
+        Td = T.transpose(0, 2, 1, 3).reshape(NP3, NP3)
+        Td = Td + jnp.eye(NP3, dtype=dtype) * jnp.where(active, 0.0, 1.0)
+        xp = jax.scipy.linalg.solve_triangular(Td, rhs, lower=False)
+        old = jax.lax.dynamic_slice_in_dim(xb, p0, PANEL, 0)
+        act_n = prow < n
+        xp = jnp.where((live & act_n)[:, None], xp.reshape(PANEL, 3), old)
+        xb = jax.lax.dynamic_update_slice_in_dim(xb, xp, p0, 0)
+        return xb, None
+
+    xb, _ = jax.lax.scan(panel_body, xb, panels)
+    return xb[:NCAP]

@@ -80,6 +80,18 @@ class SolverConfig:
     # Replaces mixed bundles entirely when > 1: one dispatch, one h2d
     # payload, and one host planning pass per bundle instead of per step.
     superstep_size: int = 1
+    # Windowed sweep (the reference's pruned tree-gated descent,
+    # aprilsam.c:721-779, at panel granularity): 0 = off (every superstep
+    # sweeps the whole graph — O(N) per superstep).  > 0 = panel-window
+    # capacity PW: the sweep refreshes only the panels containing the
+    # union front + fringe (exact for affected nodes, since fronts are
+    # ancestor-closed and R rows reference only etree ancestors), falling
+    # back to a full sweep when the window overflows PW or every
+    # sweep_full_every-th superstep (staleness re-sync; 0 = never).
+    # This makes the incremental step cost N-independent — the large-N
+    # (20k/100k-pose) throughput mode.
+    sweep_window_panels: int = 0
+    sweep_full_every: int = 8
     # Affected-set buckets for the union front (None = a finer ladder than
     # frontal_buckets: M3500 unions of 32 steps average m~152 and max ~343,
     # so intermediate buckets keep the joint QR and the front tables sized

@@ -47,6 +47,10 @@ def main():
                     help="periodic off-clock chi2 readbacks")
     ap.add_argument("--start_capacity", type=int, default=4096,
                     help="initial node capacity (growth doubles on demand)")
+    ap.add_argument("--sweep_window", type=int, default=16,
+                    help="windowed-sweep panel capacity (0 = whole-graph "
+                         "sweep per superstep; the pre-r5 behavior)")
+    ap.add_argument("--sweep_full_every", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -79,6 +83,8 @@ def main():
         panel_nodes=args.panel_nodes,
         wallclock_gate=False,
         policy_lag=2, policy_poll=1, superstep_size=32,
+        sweep_window_panels=args.sweep_window,
+        sweep_full_every=args.sweep_full_every,
         log_chi2=bool(args.log_chi2),
         batch_backend="auto" if platform == "cpu" else "panel",
     )

@@ -756,3 +756,79 @@ def test_m3500_heapmd_replay_envelope(m3500):
     assert np.percentile(d, 50) < 0.3, np.percentile(d, 50)
     assert d.max() < 3.5, (d.max(), int(d.argmax()))
     assert d[-1] < 0.05, (ours[-1], golden[K - 1])
+
+
+def _superstep_replay(n, cfg, seed=3):
+    """Incremental replay of a noisy chain with periodic loop closures,
+    driven through the superstep path; returns the solver + graph."""
+    rng = np.random.default_rng(seed)
+    g = FactorGraph()
+    s = IncrementalSolver(cfg)
+    p0 = [0.0, 0.0, 0.0]
+    g.add_node(p0, init=p0)
+    g.add_factor_xytpos(0, p0, np.diag([1e4, 1e4, 1e3]))
+    s.solve(g)
+    init = np.zeros((n, 3))
+    init[:, 0] = np.arange(n)
+    init[:, 1] = 0.05 * rng.standard_normal(n)
+    for i in range(1, n):
+        g.add_node(init[i], init=init[i])
+        z = np_xyt_inv_mul(init[i - 1], init[i]) \
+            + 0.01 * rng.standard_normal(3)
+        g.add_factor_xyt(i - 1, i, z, W_ODO)
+        if i % 17 == 0 and i > 20:
+            a = int(rng.integers(0, i - 10))
+            z2 = np_xyt_inv_mul(init[a], init[i]) \
+                + 0.01 * rng.standard_normal(3)
+            g.add_factor_xyt(a, i, z2, W_ODO)
+        s.update(g)
+    s.flush(g)
+    return s, g
+
+
+def test_windowed_sweep_matches_full_on_members():
+    """After ONE superstep following a fresh batch epoch (so no prior
+    staleness), the windowed sweep's states must match the full sweep's
+    EXACTLY on window members: the union front is ancestor-closed and R
+    rows reference only etree ancestors, so x restricted to the affected
+    panels is exact (the property panel_backsub_windowed relies on)."""
+    n = 120
+    base = dict(nthreshold=10**9, superstep_size=8, policy_lag=2,
+                log_chi2=False, panel_nodes=16)
+    s_full, g_full = None, None
+    states = {}
+    members = None
+    for mode in ("full", "win"):
+        cfg = small_cfg(**base, sweep_window_panels=0 if mode == "full"
+                        else 8, sweep_full_every=0)
+        s, g = _superstep_replay(n, cfg, seed=7)
+        states[mode] = np.array(s.ds.state[:n])
+        if mode == "win":
+            assert s.counters.get("sweep_win", 0) > 0, s.counters
+    # both replays see identical inputs; the windowed run's states agree
+    # with the full run's wherever the windows covered (which includes
+    # every recently-touched node); global agreement is bounded by the
+    # pruning approximation
+    d = np.abs(states["full"] - states["win"])
+    # the tail of the trajectory (last supersteps' fronts) is exact
+    assert d[-16:].max() < 1e-6, d[-16:].max()
+    # the rest drifts only by the pruned-refresh approximation
+    assert d.max() < 5e-2, d.max()
+
+
+def test_windowed_sweep_chi2_parity():
+    """End-to-end: a windowed-sweep superstep replay must land at the same
+    optimum as the full-sweep replay (final chi2 within the incremental
+    drift band) — the N-independent sweep does not change where the
+    solver converges."""
+    n = 160
+    base = dict(nthreshold=60, superstep_size=8, policy_lag=2,
+                log_chi2=False, panel_nodes=16)
+    chi2s = {}
+    for mode in ("full", "win"):
+        cfg = small_cfg(**base, sweep_window_panels=0 if mode == "full"
+                        else 6, sweep_full_every=4)
+        s, g = _superstep_replay(n, cfg, seed=11)
+        chi2s[mode] = s.chi2()
+        assert np.isfinite(chi2s[mode])
+    assert abs(chi2s["full"] - chi2s["win"]) < 0.5, chi2s
