@@ -84,7 +84,8 @@ def layout_rows(geom: PCholGeom, idx):
     return jnp.where(idx < geom.n_live, lr, geom.n)
 
 
-def _finalize_strip(geom: PCholGeom, axis: str, S_strip, tikhonov, dtype):
+def _finalize_strip(geom: PCholGeom, axis: str, S_strip, tikhonov, dtype,
+                    eq_jitter=0.0):
     """Add tikhonov + identity padding on this device's diagonal entries and
     equilibrate.  Returns (strip, dvec) with dvec the replicated scaling."""
     D, b, m, n = geom.D, geom.b, geom.m, geom.n
@@ -104,6 +105,10 @@ def _finalize_strip(geom: PCholGeom, axis: str, S_strip, tikhonov, dtype):
     )
     dvec = lax.rsqrt(jnp.maximum(dfull, jnp.asarray(1e-30, dtype)))
     S_strip = S_strip * dvec[rows_g][:, None] * dvec[None, :]
+    # relative (equilibrated-space) damping: caps the condition number so
+    # float32 factorization stays SPD on weakly-anchored separators
+    S_strip = S_strip.at[jnp.arange(S_strip.shape[0]), rows_g].add(
+        jnp.asarray(eq_jitter, dtype))
     return S_strip, dvec, rows_g
 
 
@@ -115,6 +120,7 @@ def pchol_solve(
     tikhonov=0.0,
     solve_mode: str = "auto",
     gather_limit: int = None,
+    eq_jitter: float = 0.0,
 ):
     """Solve the psum_scattered system: returns replicated x [n].
 
@@ -145,7 +151,8 @@ def pchol_solve(
     dt = S_strip.dtype
     d = lax.axis_index(axis)
 
-    S_strip, dvec, rows_g = _finalize_strip(geom, axis, S_strip, tikhonov, dt)
+    S_strip, dvec, rows_g = _finalize_strip(geom, axis, S_strip, tikhonov, dt,
+                                            eq_jitter)
     gblk = jnp.arange(m) * D + d                        # [m]
 
     # ---- factorization: block-cyclic right-looking ----

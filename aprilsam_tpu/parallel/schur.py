@@ -189,6 +189,7 @@ def schur_solve(
     sep_dist: bool | None = None,
     sep_block: int = 128,
     block_chunk: int = 8,
+    eq_jitter: float | None = None,
 ) -> np.ndarray:
     """Distributed Gauss-Newton: returns optimized states [n, 3] (float64).
 
@@ -198,6 +199,13 @@ def schur_solve(
     removing the replicated-factorization scaling ceiling (VERDICT r1 weak
     #4).  None (default) auto-selects: distribute once 3*ns exceeds 4 block
     rows per device.
+
+    `eq_jitter` adds a RELATIVE (equilibrated-space) damping to every
+    Cholesky in the pipeline.  Interior blocks are long odometry chains
+    anchored only through the separator, so their equilibrated normal
+    matrices have min-eigenvalues ~1e-6 at >=2k-pose scale — marginal for
+    float32 (measured NaNs at 2048 poses / closure 0.3).  Defaults to 1e-5
+    for float32 (condition number capped ~1e5) and 0.0 for float64.
 
     `block_chunk` bounds how many blocks assemble + eliminate their interiors
     simultaneously per device (lax.map batch_size): the per-block dense
@@ -217,6 +225,10 @@ def schur_solve(
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     assert B % ndev == 0, "block count must be a multiple of the mesh size"
+
+    if eq_jitter is None:
+        eq_jitter = 1e-5 if dt == jnp.float32 else 0.0
+    jit_eq = jnp.asarray(eq_jitter, dt)
 
     if sep_dist is None:
         sep_dist = part.ns > 0 and 3 * part.ns >= 4 * sep_block * ndev
@@ -250,7 +262,8 @@ def schur_solve(
         nI = 3 * ni
         A_II = A[:nI, :nI] + tikhonov * jnp.eye(nI, dtype=dt)
         dvec = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(A_II), 1e-30))
-        Ls = jnp.linalg.cholesky(A_II * dvec[:, None] * dvec[None, :])
+        Ls = jnp.linalg.cholesky(A_II * dvec[:, None] * dvec[None, :]
+                                 + jit_eq * jnp.eye(nI, dtype=dt))
         Wm = jax.scipy.linalg.solve_triangular(
             Ls, dvec[:, None] * A[:nI, nI:], lower=True)
         u_I = jax.scipy.linalg.solve_triangular(Ls, dvec * Bv[:nI], lower=True)
@@ -308,7 +321,8 @@ def schur_solve(
             S_strip = jax.lax.psum_scatter(
                 S_pad, axis, scatter_dimension=0, tiled=True)
             c = jax.lax.psum(c_pad, axis)
-            x = pchol_solve(geom, axis, S_strip, c, tikhonov=tikhonov)
+            x = pchol_solve(geom, axis, S_strip, c, tikhonov=tikhonov,
+                            eq_jitter=eq_jitter)
             x_S = x[: 3 * ns]
         else:
             # one scatter-add of all local contributions into the global
@@ -321,7 +335,9 @@ def schur_solve(
             c = jax.lax.psum(c_dev[: 3 * ns], axis)
             S = S + tikhonov * jnp.eye(3 * ns, dtype=dt)
             ds2 = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
-            Lsep = jnp.linalg.cholesky(S * ds2[:, None] * ds2[None, :])
+            Lsep = jnp.linalg.cholesky(
+                S * ds2[:, None] * ds2[None, :]
+                + jit_eq * jnp.eye(3 * ns, dtype=dt))
             ysep = jax.scipy.linalg.solve_triangular(
                 Lsep, ds2 * c, lower=True)
             x_S = ds2 * jax.scipy.linalg.solve_triangular(
