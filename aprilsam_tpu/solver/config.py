@@ -92,6 +92,14 @@ class SolverConfig:
     # (20k/100k-pose) throughput mode.
     sweep_window_panels: int = 0
     sweep_full_every: int = 8
+    # Sweep cadence across supersteps: 1 = every superstep ends with a
+    # sweep (reference-shaped semantics).  K > 1 = only every K-th
+    # superstep sweeps; the others run the joint frontal update alone
+    # (states of the union front + fringe still update exactly in-kernel,
+    # so within-bundle odometry seeding is unaffected — only non-front
+    # state refresh and its relinearization counting are deferred).
+    # flush() clears any residual staleness with one standalone sweep.
+    sweep_every_supersteps: int = 1
     # Affected-set buckets for the union front (None = a finer ladder than
     # frontal_buckets: M3500 unions of 32 steps average m~152 and max ~343,
     # so intermediate buckets keep the joint QR and the front tables sized

@@ -1424,6 +1424,38 @@ def inc_superstep(ds: DeviceState, packed,
 
 @partial(jax.jit,
          static_argnames=("MAXAFF", "KNEW", "KNODE_S", "KSEED_S",
+                          "delta_xy", "delta_theta"),
+         donate_argnames=("ds",))
+def inc_superstep_nosweep(ds: DeviceState, packed,
+                          MAXAFF: int, KNEW: int, KNODE_S: int,
+                          KSEED_S: int,
+                          delta_xy: float, delta_theta: float):
+    """Superstep WITHOUT the trailing whole-graph sweep: the joint frontal
+    update solves the union front + fringe exactly (states of F update
+    in-kernel, so the next bundle's odometry seeds read post-front states),
+    and non-front state refresh is deferred to the next swept superstep
+    (cfg.sweep_every_supersteps).  Half the sweep cost of back-to-back
+    supersteps at the accuracy of the per-bundle front math; staleness is
+    bounded by the sweep cadence and cleared by epochs and flush()."""
+    half = _legacy_half(ds)
+    ds, stats = _fast_body(ds, packed, MAXAFF, MIXED_FR, KNEW,
+                           delta_xy, delta_theta, False, None, half,
+                           KNODE_S, KSEED_S, with_tables=True)
+    return ds, stats
+
+
+@partial(jax.jit, static_argnames=("PANEL", "NPANB", "delta_xy",
+                                   "delta_theta"),
+         donate_argnames=("ds",))
+def sweep_only(ds: DeviceState, PANEL: int, NPANB: int,
+               delta_xy: float, delta_theta: float):
+    """Standalone whole-graph sweep (flush-time staleness clear for the
+    nosweep / windowed superstep modes)."""
+    return _global_sweep(ds, PANEL, NPANB, delta_xy, delta_theta)
+
+
+@partial(jax.jit,
+         static_argnames=("MAXAFF", "KNEW", "KNODE_S", "KSEED_S",
                           "PANEL", "PW",
                           "delta_xy", "delta_theta", "log_chi2"),
          donate_argnames=("ds",))
@@ -1768,6 +1800,7 @@ class IncrementalSolver:
         self.factor_num = max(self.factor_num, nf)
         self.node_num = max(self.node_num, nn)
         self.last_path = "batch"
+        self._sweep_stale = False
         self._batch_serial += 1
         self.counters["batch"] += 1
         return info
@@ -2064,6 +2097,25 @@ class IncrementalSolver:
         # panels the union front + fringe touch — O(PW) instead of
         # O(nnodes/PANEL) — unless the window overflows or a periodic full
         # re-sync is due.
+        cadence = max(1, self.cfg.sweep_every_supersteps)
+        self._sup_since_sweep = getattr(self, "_sup_since_sweep", 0)
+        if cadence > 1 and self._sup_since_sweep + 1 < cadence:
+            self._sup_since_sweep += 1
+            self._sweep_stale = True
+            self.counters["sup_nosweep"] = \
+                self.counters.get("sup_nosweep", 0) + 1
+            self.ds, stats = inc_superstep_nosweep(
+                self.ds, packed,
+                MAXAFF=plan.MAXAFF, KNEW=kfac, KNODE_S=knode,
+                KSEED_S=kseed,
+                delta_xy=float(self.cfg.delta_xy),
+                delta_theta=float(self.cfg.delta_theta))
+            self._pending.append(
+                _Pending(self.steps_done - 1, stats, self._batch_serial,
+                         step_ms=self._mark_dispatch(k)))
+            return
+        self._sup_since_sweep = 0
+
         PW = self.cfg.sweep_window_panels
         win = None
         if PW > 0 and plan.F_pos is not None:
@@ -2076,6 +2128,7 @@ class IncrementalSolver:
                 win = np.full(PW, -1, dtype=np.int32)
                 win[: len(pans)] = pans[::-1].astype(np.int32)  # descending
         if win is not None:
+            self._sweep_stale = True
             self.counters["sweep_win"] = \
                 self.counters.get("sweep_win", 0) + 1
             self.ds, stats = inc_superstep_win(
@@ -2086,6 +2139,7 @@ class IncrementalSolver:
                 delta_theta=float(self.cfg.delta_theta),
                 log_chi2=self.cfg.log_chi2)
         else:
+            self._sweep_stale = False
             self.ds, stats = inc_superstep(
                 self.ds, packed,
                 MAXAFF=plan.MAXAFF, KNEW=kfac, KNODE_S=knode, KSEED_S=kseed,
@@ -2333,6 +2387,13 @@ class IncrementalSolver:
         """Dispatch any queued bundle and consume all pending policy stats
         (end of replay)."""
         self._dispatch_queue()
+        if getattr(self, "_sweep_stale", False):
+            self.ds = sweep_only(
+                self.ds, PANEL=self.cfg.panel_nodes,
+                NPANB=self._npanb(g.nnodes),
+                delta_xy=float(self.cfg.delta_xy),
+                delta_theta=float(self.cfg.delta_theta))
+            self._sweep_stale = False
         self._drain_pending(g, block_all=True)
 
     def default_signatures(self, nnodes: Optional[int] = None):

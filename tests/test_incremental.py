@@ -832,3 +832,20 @@ def test_windowed_sweep_chi2_parity():
         chi2s[mode] = s.chi2()
         assert np.isfinite(chi2s[mode])
     assert abs(chi2s["full"] - chi2s["win"]) < 0.5, chi2s
+
+
+def test_sweep_cadence_chi2_parity():
+    """sweep_every_supersteps=2 (frontal-only supersteps between sweeps)
+    must converge to the same optimum: within-bundle seeding is unaffected
+    (front states update in-kernel) and flush() clears staleness."""
+    n = 160
+    base = dict(nthreshold=60, superstep_size=8, policy_lag=2,
+                log_chi2=False, panel_nodes=16)
+    chi2s = {}
+    for mode, k in (("every", 1), ("half", 2)):
+        cfg = small_cfg(**base, sweep_every_supersteps=k)
+        s, g = _superstep_replay(n, cfg, seed=11)
+        chi2s[mode] = s.chi2()
+        if k > 1:
+            assert s.counters.get("sup_nosweep", 0) > 0, s.counters
+    assert abs(chi2s["every"] - chi2s["half"]) < 0.5, chi2s
