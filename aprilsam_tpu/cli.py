@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--show_timing", action="store_true",
                     help="print per-step stage timing (plan/dispatch/policy), "
                          "the reference's show_timing (aprilsam.h:245)")
+    ap.add_argument("--ordering", choices=["md", "heapmd"], default="md",
+                    help="fill-reducing ordering: md (default) or the "
+                         "reference's bucketed-heap scheme (parity runs)")
+    ap.add_argument("--superstep", type=int, default=1,
+                    help="dispatch this many steps as one joint frontal "
+                         "update (benchmark mode; 1 = per-step reference "
+                         "semantics)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="print one summary JSON line at the end")
@@ -85,15 +92,25 @@ def main(argv=None) -> int:
         factor_capacity=max(8192, args.node_capacity * 2),
         wallclock_gate=not args.no_wallclock_gate,
         show_timing=args.show_timing,
+        ordering=args.ordering,
+        superstep_size=args.superstep,
+        policy_lag=2 if args.superstep > 1 else 0,
+        log_chi2=args.superstep <= 1,
     )
-    rep = Replay(loaded, cfg, batch_update_only=args.batch_update_only)
+    rep = Replay(loaded, cfg, batch_update_only=args.batch_update_only,
+                 deferred=args.superstep > 1)
     res = rep.run(max_steps=args.max_steps, verbose=not args.quiet)
 
     last = res[-1] if res else None
+    final_chi2 = last.chi2 if last is not None else float("nan")
+    if final_chi2 != final_chi2 and rep.solver is not None:
+        # deferred superstep mode logs no per-step chi2; read it once
+        rep.solver.flush(rep.graph)
+        final_chi2 = rep.solver.chi2()
     if args.json and last is not None:
         print(json.dumps({
             "steps": len(res),
-            "final_chi2": last.chi2,
+            "final_chi2": final_chi2,
             "total_ms": last.total_ms,
             "mean_step_ms": last.total_ms / len(res),
             "poses_per_sec": 1e3 * len(res) / last.total_ms,
