@@ -141,3 +141,48 @@ def test_panel_epoch_matches_host_epoch(m3500):
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(ds_p.state[:n]),
                                np.asarray(ds_h.state[:n]), atol=1e-8)
+
+
+def test_panel_caps_grade_escalation(m3500, monkeypatch):
+    """A plan that overflows the tight grade-0 capacities must retry at
+    grade 1 instead of falling back to the dense epoch (round 5: grade-0
+    caps are sized to measured M3500 plans; larger graphs escalate)."""
+    import numpy as np
+    from aprilsam_tpu.solver import panel_epoch as PE
+    from aprilsam_tpu.solver import batch as B
+
+    orig = PE.panel_caps
+    calls = []
+
+    def tight_then_real(npanb, panel, grade=0):
+        calls.append(grade)
+        if grade == 0:
+            # absurdly tight: everything overflows
+            return 8, 8, 1, 64, 64
+        return orig(npanb, panel, grade=1)
+
+    monkeypatch.setattr(PE, "panel_caps", tight_then_real)
+
+    from aprilsam_tpu.graph import FactorGraph
+    from aprilsam_tpu.replay import GEOPIN_W
+    from aprilsam_tpu.solver import SolverConfig
+    from aprilsam_tpu.solver.batch import BatchSolver
+
+    loaded = m3500
+    g = FactorGraph()
+    n = 600
+    for i in range(n):
+        g.add_node(loaded.state[i])
+    g.add_factor_xytpos(0, loaded.state[0], GEOPIN_W)
+    for f in range(loaded.nfactors):
+        a, b = loaded.fnodes[f]
+        if max(a, b) < n:
+            g.add_factor_xyt(int(a), int(b), loaded.fz[f], loaded.fW[f])
+
+    cfg = SolverConfig(dtype=np.float64, node_capacity=1024,
+                       factor_capacity=4096, row_block_capacity=96,
+                       panel_nodes=128, batch_backend="panel")
+    s = BatchSolver(cfg)
+    info = s.solve(g)
+    assert np.isfinite(info.chi2)
+    assert 1 in calls, calls  # the escalation actually happened
