@@ -69,6 +69,22 @@ def panel_caps(npanb: int, panel: int,
     return mc, nu, mult, kexta, nfac3
 
 
+def seg_ladder(mc_cap: int, nu_cap: int) -> Tuple[Tuple[int, int], ...]:
+    """Contributor-count grade ladder inside one epoch.  The measured M3500
+    plan has mc mean ~220 / max 879 against a 1024 cap (4x padded waste in
+    the strip + Gram stages, which scale with MC*TT) and the per-panel mc
+    is near-monotone in panel position, so the panel sequence splits into
+    contiguous runs each factored at the smallest (MC, NU) grade that fits
+    (grades are monotonized so runs stay in elimination order; one
+    dynamic-bound fori_loop per grade inside the SAME executable)."""
+    grades = []
+    for mc, nu in ((64, 256), (256, 512)):
+        if mc < mc_cap:
+            grades.append((mc, min(nu, nu_cap)))
+    grades.append((mc_cap, nu_cap))
+    return tuple(grades)
+
+
 class PanelEpochPlan(NamedTuple):
     """Host-built metadata for one panel epoch (all numpy)."""
 
@@ -78,8 +94,11 @@ class PanelEpochPlan(NamedTuple):
     mult: int           # max contributions per A block / B row (static)
     kexta: int          # compact A block capacity (static bucket)
     nfac3: int          # contribution triple capacity (static bucket)
-    crow: np.ndarray    # [npanb, mc_cap] contributing row positions (pad NCAP-1)
-    ucols: np.ndarray   # [npanb, nu_cap] union tail columns (pad NCAP)
+    crows: tuple        # per seg_ladder grade: [npanb, MC_g] contributing
+                        # row positions (pad NCAP-1); only rows in the
+                        # grade's gbounds range are live
+    ucolss: tuple       # per grade: [npanb, NU_g] union tail cols (pad NCAP)
+    gbounds: np.ndarray  # [G+1] panel range of each grade (monotone)
     perm: np.ndarray    # [nfac3] contribution index sorted by dest (pad -> zero)
     astart: np.ndarray  # [kexta] first perm slot of each A block
     acount: np.ndarray  # [kexta] contribution count of each A block
@@ -162,12 +181,32 @@ def build_panel_plan(
             or kexta_live > kexta:
         return None
 
-    crow = np.full((npanb, mc_cap), NCAP - 1, dtype=np.int32)
-    ucols = np.full((npanb, nu_cap), NCAP, dtype=np.int32)
+    # per-panel minimal grade, monotonized into contiguous in-order runs
+    ladder = seg_ladder(mc_cap, nu_cap)
+    G = len(ladder)
+    n_act = -(-nnodes // PANEL)
+    mcs = np.asarray([g[0] for g in ladder], dtype=np.int64)
+    nus = np.asarray([g[1] for g in ladder], dtype=np.int64)
+    fit = (mc[:, None] <= mcs[None, :]) & (nu[:, None] <= nus[None, :])
+    g_min = fit.argmax(axis=1)          # top grade always fits (cap check)
+    gm_full = np.full(npanb, G - 1, dtype=np.int64)
+    if n_act:
+        gm_full[:n_act] = np.maximum.accumulate(g_min[:n_act])
+    gbounds = np.asarray([(gm_full[:n_act] < g).sum() for g in range(G + 1)],
+                         dtype=np.int32)
+
     slot_p = np.arange(len(prow_c), dtype=np.int64) - pstart[ppan]
-    crow[ppan, slot_p] = prow_c
     slot_u = np.arange(len(ucol_v), dtype=np.int64) - ustart[upan]
-    ucols[upan, slot_u] = ucol_v
+    crows, ucolss = [], []
+    for g, (MCg, NUg) in enumerate(ladder):
+        cg = np.full((npanb, MCg), NCAP - 1, dtype=np.int32)
+        sel = gm_full[ppan] == g
+        cg[ppan[sel], slot_p[sel]] = prow_c[sel]
+        ug = np.full((npanb, NUg), NCAP, dtype=np.int32)
+        selu = gm_full[upan] == g
+        ug[upan[selu], slot_u[selu]] = ucol_v[selu]
+        crows.append(cg)
+        ucolss.append(ug)
 
     # ---- contribution -> compact-A segment tables --------------------
     # Contribution SOURCE indices address the device-side concatenation
@@ -253,7 +292,8 @@ def build_panel_plan(
     return PanelEpochPlan(
         npanb=npanb, mc_cap=mc_cap, nu_cap=nu_cap, mult=mult,
         kexta=kexta, nfac3=nfac3,
-        crow=crow, ucols=ucols, perm=perm, astart=astart, acount=acount,
+        crows=tuple(crows), ucolss=tuple(ucolss), gbounds=gbounds,
+        perm=perm, astart=astart, acount=acount,
         bperm=bperm, bstart=bstart, bcount=bcount,
         row_ptr=row_ptr, R_idx=R_idx, R_nnz=R_nnz,
         pos=pos, order=order,
@@ -274,11 +314,15 @@ def pep_layout(NCAP: int, BCAP: int, plan_dims):
     """(segment offsets, lengths) of the two packed buffers.  plan_dims =
     (npanb, mc, nu, mult, kexta, nfac3)."""
     npanb, mc, nu, mult, kexta, nfac3 = plan_dims
+    ladder = seg_ladder(mc, nu)
     w = 2 if _half(NCAP) else 1
-    s16 = (("crow", npanb * mc), ("ucols", npanb * nu),
-           ("R_idx", NCAP * BCAP), ("R_nnz", NCAP),
-           ("pos", NCAP), ("order", NCAP),
-           ("acount", kexta), ("bcount", NCAP))
+    s16 = []
+    for g, (MCg, NUg) in enumerate(ladder):
+        s16.append((f"crow{g}", npanb * MCg))
+        s16.append((f"ucols{g}", npanb * NUg))
+    s16 += [("R_idx", NCAP * BCAP), ("R_nnz", NCAP),
+            ("pos", NCAP), ("order", NCAP),
+            ("acount", kexta), ("bcount", NCAP)]
     off16 = {}
     o = 0
     for name, n in s16:
@@ -286,7 +330,7 @@ def pep_layout(NCAP: int, BCAP: int, plan_dims):
         o += n // w
     s32 = (("perm", nfac3), ("bperm", nfac3),
            ("astart", kexta), ("bstart", NCAP), ("row_ptr", NCAP),
-           ("scalars", 2))
+           ("gbounds", len(ladder) + 1), ("scalars", 2))
     off32 = {}
     o2 = 0
     for name, n in s32:
@@ -309,8 +353,9 @@ def pack_pep(plan: PanelEpochPlan, NCAP: int, BCAP: int, log_mode: int):
             a = a.astype(np.int16).view(np.int32)
         b16[lo:hi] = a
 
-    put16("crow", plan.crow)
-    put16("ucols", plan.ucols)
+    for g in range(len(plan.crows)):
+        put16(f"crow{g}", plan.crows[g])
+        put16(f"ucols{g}", plan.ucolss[g])
     put16("R_idx", plan.R_idx)
     put16("R_nnz", plan.R_nnz)
     put16("pos", plan.pos)
@@ -329,6 +374,7 @@ def pack_pep(plan: PanelEpochPlan, NCAP: int, BCAP: int, log_mode: int):
     put32("astart", plan.astart)
     put32("bstart", plan.bstart)
     put32("row_ptr", plan.row_ptr)
+    put32("gbounds", plan.gbounds)
     put32("scalars", np.asarray([log_mode, 0], dtype=np.int32))
     return b16, b32
 
@@ -373,8 +419,11 @@ def panel_epoch_step(
         seg = b32[lo:hi]
         return seg if shape is None else seg.reshape(shape)
 
-    crow = dec16("crow", (NPANB, MC))
-    ucols = dec16("ucols", (NPANB, NU))
+    ladder = seg_ladder(MC, NU)
+    crows = [dec16(f"crow{g}", (NPANB, MCg))
+             for g, (MCg, _NUg) in enumerate(ladder)]
+    ucolss = [dec16(f"ucols{g}", (NPANB, NUg))
+              for g, (_MCg, NUg) in enumerate(ladder)]
     R_idx_new = dec16("R_idx", (NCAP, BCAP))
     R_nnz_new = dec16("R_nnz")
     pos_new = dec16("pos")
@@ -386,6 +435,7 @@ def panel_epoch_step(
     astart = dec32("astart")
     bstart = dec32("bstart")
     row_ptr = dec32("row_ptr")
+    gbounds = dec32("gbounds")
     log_mode = dec32("scalars")[0]
 
     n = ds.nnodes
@@ -446,11 +496,26 @@ def panel_epoch_step(
     # [3M, P3]-major dots) lower to dilated convolutions whose outputs
     # need a physical relayout before the MXU Gram — measured 4.2 ms per
     # panel on the v5e vs 0.18 ms for this arrangement (23x).
-    TT = PANEL + NU
+    # One-hot contractions (strip builds, A relayout, writeback) run at
+    # precision HIGH: the bf16x3 splitting of the float32 data side is
+    # summed against exact 0/1 one-hots, so the result matches HIGHEST to
+    # ~2^-22 relative at half the MXU passes.  Data x data Grams stay at
+    # the global HIGHEST default.
+    ONEHOT_PREC = jax.lax.Precision.HIGH
+    import os as _os
+    GRAM_PREC = (jax.lax.Precision.HIGH
+                 if _os.environ.get("ASN_GRAM_HIGH") else None)
 
-    def body(carry, xs):
+    def make_body(MCg: int, NUg: int, crow_g, ucols_g):
+      TT = PANEL + NUg
+      MC = MCg
+
+      def body(k, carry):
         Rb, y, spd = carry
-        k, crow_k, ucols_k = xs
+        crow_k = jax.lax.dynamic_slice(
+            crow_g, (k, jnp.int32(0)), (1, MCg)).reshape(MCg)
+        ucols_k = jax.lax.dynamic_slice(
+            ucols_g, (k, jnp.int32(0)), (1, NUg)).reshape(NUg)
         p0 = k * jnp.int32(PANEL)
         z0 = jnp.int32(0)
         prow = p0 + jnp.arange(PANEL, dtype=jnp.int32)
@@ -477,7 +542,8 @@ def panel_epoch_step(
                 & slotv[..., None]).astype(dtype)          # [P, BCAP, T]
         A9 = jax.lax.dot_general(
             a_rows.reshape(PANEL, BCAP, 9), oh_a,
-            (((1,), (1,)), ((0,), (0,))))                  # [P, 9, T]
+            (((1,), (1,)), ((0,), (0,))),
+            precision=ONEHOT_PREC)                         # [P, 9, T]
         Acomb = A9.reshape(PANEL, 3, 3, TT).transpose(0, 1, 3, 2).reshape(
             P3, 3 * TT)                                    # [3p+i, 3t+j]
         X = Acomb[:, :P3]
@@ -500,11 +566,13 @@ def panel_epoch_step(
         oh_c = (idx_c[:, :, None] == tcols[None, None, :]).astype(dtype)
         W9 = jax.lax.dot_general(
             rows_c.reshape(MC, BCAP, 9), oh_c,
-            (((1,), (1,)), ((0,), (0,))))                  # [MC, 9, T]
+            (((1,), (1,)), ((0,), (0,))),
+            precision=ONEHOT_PREC)                         # [MC, 9, T]
         V2 = W9.reshape(MC * 3, 3, TT)                     # [(m,i), j, t]
         V2p = V2[:, :, :PANEL]
         G4 = jax.lax.dot_general(
-            V2p, V2, (((0,), (0,)), ((), ())))             # [j, P, k, T]
+            V2p, V2, (((0,), (0,)), ((), ())),
+            precision=GRAM_PREC)                           # [j, P, k, T]
         G = G4.transpose(1, 0, 3, 2).reshape(P3, 3 * TT)
         gy4 = jax.lax.dot_general(
             y_c.reshape(3 * MC), V2p, (((0,), (0,)), ((), ())))  # [j, P]
@@ -529,17 +597,23 @@ def panel_epoch_step(
         comb9 = Rcomb.reshape(PANEL, 3, TT, 3).transpose(0, 1, 3, 2).reshape(
             PANEL, 9, TT)
         N9 = jax.lax.dot_general(
-            comb9, oh_a, (((2,), (2,)), ((0,), (0,))))     # [P, 9, BCAP]
+            comb9, oh_a, (((2,), (2,)), ((0,), (0,))),
+            precision=ONEHOT_PREC)                         # [P, 9, BCAP]
         newrows = N9.reshape(PANEL, 3, 3, BCAP).transpose(0, 3, 1, 2)
         Rb = jax.lax.dynamic_update_slice(Rb, newrows, (p0, z0, z0, z0))
         y = jax.lax.dynamic_update_slice(y, yP.reshape(PANEL, 3), (p0, z0))
-        return (Rb, y, spd), None
+        return (Rb, y, spd)
+
+      return body
 
     Rb0 = jnp.zeros_like(ds.R_blocks)
     y0 = jnp.zeros((NCAP, 3), dtype=dtype)
-    (Rb, y_full, spd), _ = jax.lax.scan(
-        body, (Rb0, y0, jnp.asarray(True)),
-        (jnp.arange(NPANB, dtype=jnp.int32), crow, ucols))
+    carry = (Rb0, y0, jnp.asarray(True))
+    for g, (MCg, NUg) in enumerate(ladder):
+        carry = jax.lax.fori_loop(
+            gbounds[g], gbounds[g + 1],
+            make_body(MCg, NUg, crows[g], ucolss[g]), carry)
+    Rb, y_full, spd = carry
 
     # un-equilibrate the carried factor: R = R~ D^1/2 (column scaling);
     # y~ already equals the true y (see above)
@@ -565,9 +639,15 @@ def panel_epoch_step(
         pos=pos_new, order=order_new,
         start_over=jnp.int32(0), spd_ok=jnp.asarray(True),
     )
-    chi2 = state_chi2(ds)
-    LOG = ds.chi2_log.shape[0]
+    # chi2 (a full factor re-eval) only when someone will read it: bench
+    # replays run log_mode=2 and never materialize the lazy BatchInfo.chi2,
+    # so the reduction is pure dead device time there (the reference also
+    # computes chi2 outside its timed region, aprilsam_demo.c:229-232)
     do_log = log_mode < 2
+    chi2 = jax.lax.cond(
+        do_log, lambda: state_chi2(ds).astype(ds.state.dtype),
+        lambda: jnp.zeros((), dtype=ds.state.dtype))
+    LOG = ds.chi2_log.shape[0]
     ptr = jnp.maximum(ds.log_ptr - (log_mode == 1), 0)
     ds = ds._replace(
         chi2_log=ds.chi2_log.at[jnp.where(do_log, ptr, LOG)].set(
@@ -591,11 +671,15 @@ def precompile_panel_epoch(ds: DeviceState, cfg: SolverConfig,
     npanb = 1
     while True:
         mc, nu, mult, kexta, nfac3 = panel_caps(npanb, PANEL)
+        ladder = seg_ladder(mc, nu)
         plan = PanelEpochPlan(
             npanb=npanb, mc_cap=mc, nu_cap=nu, mult=mult, kexta=kexta,
             nfac3=nfac3,
-            crow=np.full((npanb, mc), NCAP - 1, dtype=np.int32),
-            ucols=np.full((npanb, nu), NCAP, dtype=np.int32),
+            crows=tuple(np.full((npanb, MCg), NCAP - 1, dtype=np.int32)
+                        for MCg, _ in ladder),
+            ucolss=tuple(np.full((npanb, NUg), NCAP, dtype=np.int32)
+                         for _, NUg in ladder),
+            gbounds=np.zeros(len(ladder) + 1, dtype=np.int32),
             perm=np.full(nfac3, 3 * cfg.factor_capacity
                          + max(256, cfg.factor_capacity // 8),
                          dtype=np.int32),

@@ -139,7 +139,12 @@ def worker() -> int:
                                 # 947 poses/s); deeper lag drifts the
                                 # trajectory (batches fire late, chi2 ~79
                                 # at 256-step delay)
-        policy_poll=1,          # one ~1 ms policy d2h per superstep
+        policy_poll=2,          # one ~1 ms policy d2h per TWO supersteps
+                                # (r5 TPU sweep: 1450-1490 poses/s vs
+                                # 1400 at poll=1, chi2 68.98 either way;
+                                # sweep_every_supersteps>1 measured
+                                # noise-level by comparison and keeps
+                                # reference-shaped per-superstep sweeps)
         superstep_size=64,      # a whole bundle of steps as ONE joint
                                 # frontal update + one sweep (see the
                                 # superstep section of incremental.py):

@@ -26,7 +26,7 @@ def main():
     cfg = SolverConfig(
         dtype=np.float32, node_capacity=4096, factor_capacity=8192,
         row_block_capacity=96, panel_nodes=128, wallclock_gate=False,
-        policy_lag=2, policy_poll=1, superstep_size=64, log_chi2=False,
+        policy_lag=2, policy_poll=2, superstep_size=64, log_chi2=False,
         batch_backend="panel",
     )
     T = collections.defaultdict(float)

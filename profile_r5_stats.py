@@ -40,9 +40,12 @@ print(f"plan host: {(time.perf_counter()-t0)*1e3:.1f} ms")
 print(f"dims: npanb={plan.npanb} mc_cap={plan.mc_cap} nu_cap={plan.nu_cap} "
       f"mult={plan.mult} kexta={plan.kexta} nfac3={plan.nfac3}")
 
-# per-panel real mc / nu
-mc = (plan.crow < NCAP - 1).sum(axis=1)
-nu = (plan.ucols < NCAP).sum(axis=1)
+# per-panel real mc / nu (summed over the seg_ladder grade tables; each
+# panel is live in exactly one grade)
+mc = sum((cg < NCAP - 1).sum(axis=1) for cg in plan.crows)
+nu = sum((ug < NCAP).sum(axis=1) for ug in plan.ucolss)
+print("gbounds:", plan.gbounds.tolist(),
+      "ladder:", PE.seg_ladder(plan.mc_cap, plan.nu_cap))
 print("mc per panel:", mc.tolist())
 print("nu per panel:", nu.tolist())
 print(f"mc: mean={mc.mean():.0f} max={mc.max()} sum={mc.sum()}")

@@ -19,8 +19,8 @@ loaded = load_g2o_text("/root/reference/data/M3500.txt")
 cfg = SolverConfig(
     dtype=np.float32, node_capacity=4096, factor_capacity=8192,
     row_block_capacity=96, panel_nodes=128, wallclock_gate=False,
-    policy_lag=2, policy_poll=1, superstep_size=32, log_chi2=False,
-    batch_backend="device",
+    policy_lag=2, policy_poll=2, superstep_size=64, log_chi2=False,
+    batch_backend="panel",
 )
 
 captured = []
@@ -32,7 +32,7 @@ I.inc_superstep = capture
 
 rep = Replay(loaded, cfg, deferred=True)
 n = 0
-while n < 2000:
+while n < 3500:
     if rep.step() is None:
         break
     n += 1
