@@ -73,6 +73,9 @@ class FactorGraph:
         self.has_ztruth = np.zeros(self._factors_cap, dtype=bool)
         self.fW = np.zeros((self._factors_cap, 3, 3), dtype=np.float64)
         self.nfactors = 0
+        self.nf_xyt = 0     # running FACTOR_XYT count (all additions go
+                            # through add_factor_* / add_factors_xyt_bulk;
+                            # saves an O(nfactors) scan per solver step)
 
         self.attr = Attributes()
         self.node_attrs: Dict[int, Attributes] = {}
@@ -113,10 +116,11 @@ class FactorGraph:
 
     # ----------------------------------------------------------- factors
 
-    def _grow_factors(self):
-        if self.nfactors < self._factors_cap:
+    def _grow_factors(self, need: int = 1):
+        if self.nfactors + need <= self._factors_cap:
             return
-        self._factors_cap *= 2
+        while self.nfactors + need > self._factors_cap:
+            self._factors_cap *= 2
 
         def grow(arr, shape):
             new = np.zeros(shape, dtype=arr.dtype)
@@ -145,6 +149,25 @@ class FactorGraph:
             self.fztruth[f] = ztruth
             self.has_ztruth[f] = True
         self.nfactors += 1
+        self.nf_xyt += 1
+        return f
+
+    def add_factors_xyt_bulk(self, ab, z, W) -> int:
+        """Append m xyt factors in one shot: ab [m, 2] int endpoints,
+        z [m, 3], W [m, 3, 3].  Returns the first new factor index.
+        Equivalent to m add_factor_xyt calls (the replay driver batches a
+        pose's factors to keep the per-step host cost flat)."""
+        m = len(ab)
+        if m == 0:
+            return self.nfactors
+        self._grow_factors(m)
+        f = self.nfactors
+        self.ftype[f:f + m] = FACTOR_XYT
+        self.fnodes[f:f + m] = ab
+        self.fz[f:f + m] = z
+        self.fW[f:f + m] = W
+        self.nfactors += m
+        self.nf_xyt += m
         return f
 
     def add_factor_xytpos(self, node: int, z, W, ztruth=None) -> int:

@@ -339,13 +339,14 @@ def run_batch_epoch(
                 plan = build_panel_plan(cfg, nnodes, sym, sym.pad_idx,
                                         sym.pad_nnz, ftypes, fnodes, grade=1)
             if plan is not None:
-                b16, b32 = pack_pep(plan, NCAP, BCAP, log_mode)
+                bb = pack_pep(plan, NCAP, BCAP, log_mode)
                 ds, chi2, spd = panel_epoch_step(
-                    ds, jnp.asarray(b16), jnp.asarray(b32),
+                    ds, jnp.asarray(bb),
                     jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
                     NPANB=plan.npanb, MC=plan.mc_cap, NU=plan.nu_cap,
                     MULT=plan.mult, KEXTA=plan.kexta, NFAC3=plan.nfac3,
-                    PANEL=cfg.panel_nodes)
+                    PANEL=cfg.panel_nodes, BPACK=plan.bpack,
+                    PMAX16=plan.pmax16)
                 if lazy:
                     return ds, sym, BatchInfo(chi2=chi2, spd=spd, n=nnodes)
                 return ds, sym, BatchInfo(chi2=float(chi2), spd=bool(spd),

@@ -48,6 +48,7 @@ triggers a full batch epoch that records batch_time (aprilsam.c:566-575).
 
 from __future__ import annotations
 
+import math
 import time
 from collections import deque
 from dataclasses import dataclass
@@ -1683,7 +1684,7 @@ class IncrementalSolver:
 
         cfg = self.cfg
         need_nodes = g.nnodes + KNODE + 1
-        n_xyt = int(np.sum(g.ftype[: g.nfactors] == FACTOR_XYT))
+        n_xyt = g.nf_xyt
         n_pos = g.nfactors - n_xyt
         FPOS = max(256, cfg.factor_capacity // 8)
         need_f = n_xyt + cfg.new_factor_capacity + 1
@@ -2042,20 +2043,26 @@ class IncrementalSolver:
         # entry (pre-bundle node, or a new node ingested un-seeded this
         # bundle): state[dst] = state[base] o (z_1 o ... o z_j) — exact,
         # xyt composition is associative.  Last-wins per dst preserved.
-        from ..geometry import np_xyt_inv, np_xyt_mul
-
+        # scalar float64 arithmetic (identical formulas to np_xyt_mul /
+        # np_xyt_inv in geometry.py; python floats skip ~10 us of numpy
+        # call overhead per seed, ~70 ms per M3500 replay)
         cur = {}
         for (_a, _b, _c2, _n1, ss, _g2) in entries:
             for s in ss:
-                z_eff = np.asarray(s.z, dtype=np.float64)
+                zx, zy, zt = (float(s.z[0]), float(s.z[1]), float(s.z[2]))
                 if s.invert:
-                    z_eff = np_xyt_inv(z_eff)
+                    si, ci = math.sin(zt), math.cos(zt)
+                    zx, zy, zt = (-si * zy - ci * zx,
+                                  -ci * zy + si * zx, -zt)
                 if s.src in cur:
-                    base, zc = cur[s.src]
-                    cur[s.dst] = (base, np_xyt_mul(zc, z_eff))
+                    base, (ax, ay, at) = cur[s.src]
+                    s2, c2 = math.sin(at), math.cos(at)
+                    cur[s.dst] = (base, (c2 * zx - s2 * zy + ax,
+                                         s2 * zx + c2 * zy + ay, at + zt))
                 else:
-                    cur[s.dst] = (int(s.src), z_eff)
-        seeds_u = [SeedSpec(src=b, dst=int(d), z=zc, invert=False)
+                    cur[s.dst] = (int(s.src), (zx, zy, zt))
+        seeds_u = [SeedSpec(src=b, dst=int(d),
+                            z=np.asarray(zc, dtype=np.float64), invert=False)
                    for d, (b, zc) in cur.items()]
 
         knode, kseed, kfac = _sup_caps(self.cfg)

@@ -110,6 +110,10 @@ class PanelEpochPlan(NamedTuple):
     R_nnz: np.ndarray   # [NCAP]
     pos: np.ndarray     # [NCAP]
     order: np.ndarray   # [NCAP]
+    panel: int = 128    # cfg.panel_nodes (wire-compression row bucket)
+    bpack: int = 0      # pattern columns actually shipped (64 unless a row
+                        # overflows; 0 = legacy full-BCAP, set by builder)
+    pmax16: bool = False  # perm/bperm/astart/bstart/row_ptr fit int16
 
 
 def build_panel_plan(
@@ -289,6 +293,20 @@ def build_panel_plan(
     R_nnz = np.zeros(NCAP, dtype=np.int32)
     R_nnz[:nnodes] = nnz
 
+    # wire compression: ship the pattern at 64 columns when every row fits
+    # (fresh symbolic nnz maxes ~48 on SLAM graphs; overflow escalates to
+    # the full-BCAP executable), and route the segment tables through the
+    # 16-bit section when their values fit int16 (always legal when the
+    # 16-bit section is itself stored as int32, i.e. NCAP too big to halve)
+    max_nnz = int(nnz.max(initial=0))
+    bpack = BCAP if (max_nnz > 64 or BCAP <= 64) else 64
+    # values in the segment tables: perm/bperm < 3*FCAP+FPOS+1, astart /
+    # bstart < nfac3, row_ptr < kexta — all must fit int16 to ride the
+    # 16-bit section when it is actually halved
+    pmax16 = (not _half(NCAP)) or (
+        (3 * FCAP + FPOS + 1) <= 32768 and nfac3 <= 32768
+        and kexta <= 32768)
+
     return PanelEpochPlan(
         npanb=npanb, mc_cap=mc_cap, nu_cap=nu_cap, mult=mult,
         kexta=kexta, nfac3=nfac3,
@@ -297,6 +315,7 @@ def build_panel_plan(
         bperm=bperm, bstart=bstart, bcount=bcount,
         row_ptr=row_ptr, R_idx=R_idx, R_nnz=R_nnz,
         pos=pos, order=order,
+        panel=PANEL, bpack=bpack, pmax16=pmax16,
     )
 
 
@@ -311,26 +330,34 @@ def _half(NCAP: int) -> bool:
 
 
 def pep_layout(NCAP: int, BCAP: int, plan_dims):
-    """(segment offsets, lengths) of the two packed buffers.  plan_dims =
-    (npanb, mc, nu, mult, kexta, nfac3)."""
-    npanb, mc, nu, mult, kexta, nfac3 = plan_dims
+    """(segment offsets, lengths) of the packed wire buffer.  plan_dims =
+    (npanb, mc, nu, mult, kexta, nfac3, panel, bpack, pmax16).  The buffer
+    is ONE int32 array: [32-bit section | 16-bit section] (relay h2d runs
+    ~60 MB/s with ~2.5 ms per-transfer latency, so one merged, compressed
+    transfer is a direct epoch saving).  Row-indexed tables ship only the
+    NB = npanb*panel active rows; the device re-pads to NCAP."""
+    npanb, mc, nu, mult, kexta, nfac3, panel, bpack, pmax16 = plan_dims
     ladder = seg_ladder(mc, nu)
+    NB = min(NCAP, npanb * panel)
     w = 2 if _half(NCAP) else 1
     s16 = []
     for g, (MCg, NUg) in enumerate(ladder):
         s16.append((f"crow{g}", npanb * MCg))
         s16.append((f"ucols{g}", npanb * NUg))
-    s16 += [("R_idx", NCAP * BCAP), ("R_nnz", NCAP),
-            ("pos", NCAP), ("order", NCAP),
-            ("acount", kexta), ("bcount", NCAP)]
+    s16 += [("R_idx", NB * bpack), ("R_nnz", NB),
+            ("pos", NB), ("order", NB),
+            ("acount", kexta), ("bcount", NB)]
+    segtabs = (("perm", nfac3), ("bperm", nfac3),
+               ("astart", kexta), ("bstart", NB), ("row_ptr", NB))
+    if pmax16:
+        s16 += list(segtabs)
     off16 = {}
     o = 0
     for name, n in s16:
-        off16[name] = (o, o + n // w, n)
-        o += n // w
-    s32 = (("perm", nfac3), ("bperm", nfac3),
-           ("astart", kexta), ("bstart", NCAP), ("row_ptr", NCAP),
-           ("gbounds", len(ladder) + 1), ("scalars", 2))
+        off16[name] = (o, o + -(-n // w), n)
+        o += -(-n // w)
+    s32 = [] if pmax16 else list(segtabs)
+    s32 += [("gbounds", len(ladder) + 1), ("scalars", 2)]
     off32 = {}
     o2 = 0
     for name, n in s32:
@@ -339,44 +366,54 @@ def pep_layout(NCAP: int, BCAP: int, plan_dims):
     return off16, o, off32, o2
 
 
+def plan_dims_of(plan: PanelEpochPlan):
+    return (plan.npanb, plan.mc_cap, plan.nu_cap, plan.mult,
+            plan.kexta, plan.nfac3, plan.panel, plan.bpack, plan.pmax16)
+
+
 def pack_pep(plan: PanelEpochPlan, NCAP: int, BCAP: int, log_mode: int):
-    dims = (plan.npanb, plan.mc_cap, plan.nu_cap, plan.mult,
-            plan.kexta, plan.nfac3)
-    off16, L16, off32, L32 = pep_layout(NCAP, BCAP, dims)
+    """Pack one merged int32 wire buffer: [32-bit section | 16-bit
+    section].  Row-indexed tables are clipped to the NB active rows and
+    the pattern to bpack columns (the device re-pads)."""
+    off16, L16, off32, L32 = pep_layout(NCAP, BCAP, plan_dims_of(plan))
     half = _half(NCAP)
-    b16 = np.empty(L16, dtype=np.int32)
+    NB = min(NCAP, plan.npanb * plan.panel)
+    bb = np.empty(L32 + L16, dtype=np.int32)
+    b32 = bb[:L32]
+    b16 = bb[L32:]
 
     def put16(name, arr):
-        lo, hi, _n = off16[name]
+        lo, hi, n = off16[name]
         a = np.ascontiguousarray(arr, dtype=np.int32).reshape(-1)
         if half:
-            a = a.astype(np.int16).view(np.int32)
+            a16 = a.astype(np.int16)
+            if n % 2:
+                a16 = np.concatenate([a16, np.zeros(1, np.int16)])
+            a = a16.view(np.int32)
         b16[lo:hi] = a
-
-    for g in range(len(plan.crows)):
-        put16(f"crow{g}", plan.crows[g])
-        put16(f"ucols{g}", plan.ucolss[g])
-    put16("R_idx", plan.R_idx)
-    put16("R_nnz", plan.R_nnz)
-    put16("pos", plan.pos)
-    put16("order", plan.order)
-    put16("acount", plan.acount)
-    put16("bcount", plan.bcount)
-
-    b32 = np.empty(L32, dtype=np.int32)
 
     def put32(name, arr):
         lo, hi, _n = off32[name]
         b32[lo:hi] = np.ascontiguousarray(arr, dtype=np.int32).reshape(-1)
 
-    put32("perm", plan.perm)
-    put32("bperm", plan.bperm)
-    put32("astart", plan.astart)
-    put32("bstart", plan.bstart)
-    put32("row_ptr", plan.row_ptr)
+    put_seg = put16 if plan.pmax16 else put32
+    for g in range(len(plan.crows)):
+        put16(f"crow{g}", plan.crows[g])
+        put16(f"ucols{g}", plan.ucolss[g])
+    put16("R_idx", plan.R_idx[:NB, :plan.bpack])
+    put16("R_nnz", plan.R_nnz[:NB])
+    put16("pos", plan.pos[:NB])
+    put16("order", plan.order[:NB])
+    put16("acount", plan.acount)
+    put16("bcount", plan.bcount[:NB])
+    put_seg("perm", plan.perm)
+    put_seg("bperm", plan.bperm)
+    put_seg("astart", plan.astart)
+    put_seg("bstart", plan.bstart[:NB])
+    put_seg("row_ptr", plan.row_ptr[:NB])
     put32("gbounds", plan.gbounds)
     put32("scalars", np.asarray([log_mode, 0], dtype=np.int32))
-    return b16, b32
+    return bb
 
 
 # ======================================================================
@@ -385,13 +422,13 @@ def pack_pep(plan: PanelEpochPlan, NCAP: int, BCAP: int, log_mode: int):
 
 @partial(jax.jit,
          static_argnames=("NPANB", "MC", "NU", "MULT", "KEXTA", "NFAC3",
-                          "PANEL"),
+                          "PANEL", "BPACK", "PMAX16"),
          donate_argnames=("ds",))
 def panel_epoch_step(
     ds: DeviceState,
-    b16, b32, tikhonov,
+    bb, tikhonov,
     NPANB: int, MC: int, NU: int, MULT: int, KEXTA: int, NFAC3: int,
-    PANEL: int,
+    PANEL: int, BPACK: int = 0, PMAX16: bool = False,
 ):
     from ..factors import eval_xyt, eval_xytpos, gn_blocks_xyt
     from ..geometry import mod2pi
@@ -402,39 +439,48 @@ def panel_epoch_step(
     FCAP = ds.xyt_a.shape[0]
     FPOS = ds.pos_node.shape[0]
     dtype = ds.R_blocks.dtype
-    dims = (NPANB, MC, NU, MULT, KEXTA, NFAC3)
-    off16, _L16, off32, _L32 = pep_layout(NCAP, BCAP, dims)
+    if BPACK == 0:
+        BPACK = BCAP
+    dims = (NPANB, MC, NU, MULT, KEXTA, NFAC3, PANEL, BPACK, PMAX16)
+    off16, _L16, off32, L32 = pep_layout(NCAP, BCAP, dims)
     half = _half(NCAP)
+    NB = min(NCAP, NPANB * PANEL)
 
     def dec16(name, shape=None):
         lo, hi, n = off16[name]
-        seg = b16[lo:hi]
+        seg = bb[L32 + lo:L32 + hi]
         if half:
             seg = jax.lax.bitcast_convert_type(seg, jnp.int16).astype(
-                jnp.int32).reshape(n)
+                jnp.int32).reshape(-1)[:n]
         return seg if shape is None else seg.reshape(shape)
 
     def dec32(name, shape=None):
         lo, hi, _n = off32[name]
-        seg = b32[lo:hi]
+        seg = bb[lo:hi]
         return seg if shape is None else seg.reshape(shape)
+
+    dec_seg = dec16 if PMAX16 else dec32
 
     ladder = seg_ladder(MC, NU)
     crows = [dec16(f"crow{g}", (NPANB, MCg))
              for g, (MCg, _NUg) in enumerate(ladder)]
     ucolss = [dec16(f"ucols{g}", (NPANB, NUg))
               for g, (_MCg, NUg) in enumerate(ladder)]
-    R_idx_new = dec16("R_idx", (NCAP, BCAP))
-    R_nnz_new = dec16("R_nnz")
-    pos_new = dec16("pos")
-    order_new = dec16("order")
+    # row tables ship NB rows / BPACK pattern columns; re-pad on device
+    arange_tail = jnp.arange(NB, NCAP, dtype=jnp.int32)
+    R_idx_new = jnp.pad(dec16("R_idx", (NB, BPACK)),
+                        ((0, NCAP - NB), (0, BCAP - BPACK)),
+                        constant_values=NCAP)
+    R_nnz_new = jnp.pad(dec16("R_nnz"), (0, NCAP - NB))
+    pos_new = jnp.concatenate([dec16("pos"), arange_tail])
+    order_new = jnp.concatenate([dec16("order"), arange_tail])
     acount = dec16("acount")
-    bcount = dec16("bcount")
-    perm = dec32("perm")
-    bperm = dec32("bperm")
-    astart = dec32("astart")
-    bstart = dec32("bstart")
-    row_ptr = dec32("row_ptr")
+    bcount = jnp.pad(dec16("bcount"), (0, NCAP - NB))
+    perm = dec_seg("perm")
+    bperm = dec_seg("bperm")
+    astart = dec_seg("astart")
+    bstart = jnp.pad(dec_seg("bstart"), (0, NCAP - NB))
+    row_ptr = jnp.pad(dec_seg("row_ptr"), (0, NCAP - NB))
     gbounds = dec32("gbounds")
     log_mode = dec32("scalars")[0]
 
@@ -669,9 +715,15 @@ def precompile_panel_epoch(ds: DeviceState, cfg: SolverConfig,
     target = min(_bucket_pow2(max(1, -(-nnodes_max // PANEL)), 1), npan_max)
     count = 0
     npanb = 1
+    FCAP = cfg.factor_capacity
+    FPOS = max(256, cfg.factor_capacity // 8)
     while True:
         mc, nu, mult, kexta, nfac3 = panel_caps(npanb, PANEL)
         ladder = seg_ladder(mc, nu)
+        bpack = BCAP if BCAP <= 64 else 64
+        pmax16 = (not _half(NCAP)) or (
+            (3 * FCAP + FPOS + 1) <= 32768 and nfac3 <= 32768
+            and kexta <= 32768)
         plan = PanelEpochPlan(
             npanb=npanb, mc_cap=mc, nu_cap=nu, mult=mult, kexta=kexta,
             nfac3=nfac3,
@@ -695,13 +747,14 @@ def precompile_panel_epoch(ds: DeviceState, cfg: SolverConfig,
             R_nnz=np.zeros(NCAP, dtype=np.int32),
             pos=np.arange(NCAP, dtype=np.int32),
             order=np.arange(NCAP, dtype=np.int32),
+            panel=PANEL, bpack=bpack, pmax16=pmax16,
         )
-        b16, b32 = pack_pep(plan, NCAP, BCAP, 2)
+        bb = pack_pep(plan, NCAP, BCAP, 2)
         ds, _c, _s = panel_epoch_step(
-            ds, jnp.asarray(b16), jnp.asarray(b32),
+            ds, jnp.asarray(bb),
             jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype),
             NPANB=npanb, MC=mc, NU=nu, MULT=mult, KEXTA=kexta,
-            NFAC3=nfac3, PANEL=PANEL)
+            NFAC3=nfac3, PANEL=PANEL, BPACK=bpack, PMAX16=pmax16)
         count += 1
         if npanb >= target:
             break

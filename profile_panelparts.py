@@ -49,26 +49,27 @@ pad_nnz = np.zeros(4096, np.int32); pad_nnz[:nn] = nnzv
 t0 = time.perf_counter()
 plan = PE.build_panel_plan(cfg, nn, sym, pad_idx, pad_nnz, ftypes, fnodes)
 print(f"plan host: {(time.perf_counter()-t0)*1e3:.1f} ms  dims=({plan.npanb},{plan.mc_cap},{plan.nu_cap},{plan.mult},{plan.kexta},{plan.nfac3})", flush=True)
-b16, b32 = pack_out = PE.pack_pep(plan, 4096, 96, 2)
-b16j, b32j = jnp.asarray(b16), jnp.asarray(b32)
-jax.block_until_ready(b16j)
+bb = PE.pack_pep(plan, 4096, 96, 2)
+bbj = jnp.asarray(bb)
+jax.block_until_ready(bbj)
 t0 = time.perf_counter()
 for _ in range(5):
-    x = jnp.asarray(b16), jnp.asarray(b32)
+    x = jnp.asarray(bb)
 jax.block_until_ready(x)
-print(f"upload ({(b16.nbytes+b32.nbytes)//1024} KB): {(time.perf_counter()-t0)/5*1e3:.1f} ms", flush=True)
+print(f"upload ({bb.nbytes//1024} KB): {(time.perf_counter()-t0)/5*1e3:.1f} ms", flush=True)
 
 ds = solver.ds
 tik = jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype)
 dims = dict(NPANB=plan.npanb, MC=plan.mc_cap, NU=plan.nu_cap, MULT=plan.mult,
-            KEXTA=plan.kexta, NFAC3=plan.nfac3, PANEL=128)
+            KEXTA=plan.kexta, NFAC3=plan.nfac3, PANEL=128,
+            BPACK=plan.bpack, PMAX16=plan.pmax16)
 
 # full kernel chained (state not donated-restored; reuse returned ds)
-ds2, c2, spd = PE.panel_epoch_step(ds, b16j, b32j, tik, **dims)
+ds2, c2, spd = PE.panel_epoch_step(ds, bbj, tik, **dims)
 jax.block_until_ready(ds2.state)
 t0 = time.perf_counter()
 N = 8
 for _ in range(N):
-    ds2, c2, spd = PE.panel_epoch_step(ds2, b16j, b32j, tik, **dims)
+    ds2, c2, spd = PE.panel_epoch_step(ds2, bbj, tik, **dims)
 jax.block_until_ready(ds2.state)
 print(f"full kernel: {(time.perf_counter()-t0)/N*1e3:.1f} ms chi2={float(c2):.3f}", flush=True)

@@ -45,27 +45,29 @@ sym = solver.sym
 nn = g.nnodes
 plan = PE.build_panel_plan(cfg, nn, sym, sym.pad_idx, sym.pad_nnz,
                            g.ftype[:g.nfactors], g.fnodes[:g.nfactors])
-b16, b32 = PE.pack_pep(plan, 4096, 96, 2)
-b16j, b32j = jnp.asarray(b16), jnp.asarray(b32)
+bb = PE.pack_pep(plan, 4096, 96, 2)
+bbj = jnp.asarray(bb)
 tik = jnp.asarray(cfg.tikhonov, dtype=cfg.jnp_dtype)
 dims = dict(NPANB=plan.npanb, MC=plan.mc_cap, NU=plan.nu_cap,
-            MULT=plan.mult, KEXTA=plan.kexta, NFAC3=plan.nfac3, PANEL=128)
+            MULT=plan.mult, KEXTA=plan.kexta, NFAC3=plan.nfac3, PANEL=128,
+            BPACK=plan.bpack, PMAX16=plan.pmax16)
 
 
 @partial(jax.jit, static_argnames=("NPANB", "MC", "NU", "MULT", "KEXTA",
-                                   "NFAC3", "PANEL", "STAGE", "REPS"))
-def staged(ds, b16, b32, tikhonov,
-           NPANB, MC, NU, MULT, KEXTA, NFAC3, PANEL, STAGE, REPS=1):
+                                   "NFAC3", "PANEL", "BPACK", "PMAX16", "STAGE", "REPS"))
+def staged(ds, bb, tikhonov,
+           NPANB, MC, NU, MULT, KEXTA, NFAC3, PANEL, BPACK, PMAX16,
+           STAGE, REPS=1):
     def _rep(_i, acc):
-        out = _once(ds._replace(state=ds.state + acc * 1e-30), b16, b32,
+        out = _once(ds._replace(state=ds.state + acc * 1e-30), bb,
                     tikhonov, NPANB, MC, NU, MULT, KEXTA, NFAC3, PANEL,
-                    STAGE)
+                    BPACK, PMAX16, STAGE)
         return out * 1e-30
     return jax.lax.fori_loop(0, REPS, _rep, jnp.float32(0))
 
 
-def _once(ds, b16, b32, tikhonov,
-          NPANB, MC, NU, MULT, KEXTA, NFAC3, PANEL, STAGE):
+def _once(ds, bb, tikhonov,
+          NPANB, MC, NU, MULT, KEXTA, NFAC3, PANEL, BPACK, PMAX16, STAGE):
     from aprilsam_tpu.factors import eval_xyt, eval_xytpos, gn_blocks_xyt
     from aprilsam_tpu.kernels.sweep import panel_backsub
     NCAP = ds.state.shape[0]
@@ -73,39 +75,44 @@ def _once(ds, b16, b32, tikhonov,
     FCAP = ds.xyt_a.shape[0]
     FPOS = ds.pos_node.shape[0]
     dtype = ds.R_blocks.dtype
-    dimsv = (NPANB, MC, NU, MULT, KEXTA, NFAC3)
-    off16, _L16, off32, _L32 = PE.pep_layout(NCAP, BCAP, dimsv)
+    dimsv = (NPANB, MC, NU, MULT, KEXTA, NFAC3, PANEL, BPACK, PMAX16)
+    off16, _L16, off32, L32 = PE.pep_layout(NCAP, BCAP, dimsv)
     half = PE._half(NCAP)
+    NB = min(NCAP, NPANB * PANEL)
     ONEHOT_PREC = jax.lax.Precision.HIGH
 
     def dec16(name, shape=None):
         lo, hi, n = off16[name]
-        seg = b16[lo:hi]
+        seg = bb[L32 + lo:L32 + hi]
         if half:
             seg = jax.lax.bitcast_convert_type(seg, jnp.int16).astype(
-                jnp.int32).reshape(n)
+                jnp.int32).reshape(-1)[:n]
         return seg if shape is None else seg.reshape(shape)
 
     def dec32(name, shape=None):
         lo, hi, _n = off32[name]
-        seg = b32[lo:hi]
+        seg = bb[lo:hi]
         return seg if shape is None else seg.reshape(shape)
 
+    dec_seg = dec16 if PMAX16 else dec32
     ladder = PE.seg_ladder(MC, NU)
     crows = [dec16(f"crow{g}", (NPANB, MCg))
              for g, (MCg, _NUg) in enumerate(ladder)]
     ucolss = [dec16(f"ucols{g}", (NPANB, NUg))
               for g, (_MCg, NUg) in enumerate(ladder)]
-    R_idx_new = dec16("R_idx", (NCAP, BCAP))
-    R_nnz_new = dec16("R_nnz")
-    pos_new = dec16("pos")
+    arange_tail = jnp.arange(NB, NCAP, dtype=jnp.int32)
+    R_idx_new = jnp.pad(dec16("R_idx", (NB, BPACK)),
+                        ((0, NCAP - NB), (0, BCAP - BPACK)),
+                        constant_values=NCAP)
+    R_nnz_new = jnp.pad(dec16("R_nnz"), (0, NCAP - NB))
+    pos_new = jnp.concatenate([dec16("pos"), arange_tail])
     acount = dec16("acount")
-    bcount = dec16("bcount")
-    perm = dec32("perm")
-    bperm = dec32("bperm")
-    astart = dec32("astart")
-    bstart = dec32("bstart")
-    row_ptr = dec32("row_ptr")
+    bcount = jnp.pad(dec16("bcount"), (0, NCAP - NB))
+    perm = dec_seg("perm")
+    bperm = dec_seg("bperm")
+    astart = dec_seg("astart")
+    bstart = jnp.pad(dec_seg("bstart"), (0, NCAP - NB))
+    row_ptr = jnp.pad(dec_seg("row_ptr"), (0, NCAP - NB))
     gbounds = dec32("gbounds")
     n = ds.nnodes
     l_point = ds.state
@@ -259,12 +266,12 @@ def _once(ds, b16, b32, tikhonov,
 
 
 for stage in (0, 1, 2, 3, 4, 5):
-    v = float(staged(ds, b16j, b32j, tik, STAGE=stage, REPS=1, **dims))
-    v = float(staged(ds, b16j, b32j, tik, STAGE=stage, REPS=9, **dims))
+    v = float(staged(ds, bbj, tik, STAGE=stage, REPS=1, **dims))
+    v = float(staged(ds, bbj, tik, STAGE=stage, REPS=9, **dims))
     t0 = time.perf_counter()
-    v = float(staged(ds, b16j, b32j, tik, STAGE=stage, REPS=1, **dims))
+    v = float(staged(ds, bbj, tik, STAGE=stage, REPS=1, **dims))
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    v = float(staged(ds, b16j, b32j, tik, STAGE=stage, REPS=9, **dims))
+    v = float(staged(ds, bbj, tik, STAGE=stage, REPS=9, **dims))
     t9 = time.perf_counter() - t0
     print(f"stage {stage}: {(t9-t1)/8*1e3:.1f} ms/iter", flush=True)
