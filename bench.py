@@ -132,25 +132,29 @@ def worker() -> int:
                                 # trajectory; test_superstep_m3500_bench_config
                                 # pins the drift and the CHI2_BAND guards
                                 # the full replay.
-        policy_lag=2,           # two supersteps of policy lag (~128 steps
-                                # at superstep_size=64): lag=1 forces the
-                                # drain to block on the previous superstep
-                                # and stalls the pipeline (measured 661 vs
-                                # 947 poses/s); deeper lag drifts the
-                                # trajectory (batches fire late, chi2 ~79
-                                # at 256-step delay)
+        policy_lag=3,           # three supersteps of policy lag: lag=2
+                                # stalls the pipeline on the policy read
+                                # whenever an epoch is in flight (r5 TPU
+                                # sweep: 1440 -> 2630 poses/s going 2 -> 3
+                                # at S=64); the batch fallback then lands
+                                # up to ~3 bundles late, which shifts the
+                                # deterministic trajectory to final chi2
+                                # 69.54 — inside the reference band
+                                # 68.96-69.91 (BASELINE.md), pinned by
+                                # test_superstep_m3500_bench_config
         policy_poll=2,          # one ~1 ms policy d2h per TWO supersteps
-                                # (r5 TPU sweep: 1450-1490 poses/s vs
-                                # 1400 at poll=1, chi2 68.98 either way;
-                                # sweep_every_supersteps>1 measured
-                                # noise-level by comparison and keeps
-                                # reference-shaped per-superstep sweeps)
-        superstep_size=64,      # a whole bundle of steps as ONE joint
+                                # (poll=3 measured no further gain)
+        superstep_size=96,      # a whole bundle of steps as ONE joint
                                 # frontal update + one sweep (see the
-                                # superstep section of incremental.py):
-                                # replaces 32 serialized slot bodies and
-                                # 32 host plans with one MXU-sized QR and
-                                # one plan per bundle
+                                # superstep section of incremental.py);
+                                # S=96 beat S=64 (2830 vs 2350 median)
+                                # and S=128 breaks the chi2 envelope via
+                                # within-bundle seed composition
+        superstep_buckets=(64, 128, 256, 384, 640, 1024),
+                                # the default ladder jumps 384 -> 1024 and
+                                # M3500 unions peak at ~514: the 640
+                                # bucket turns those 42 ms dispatches into
+                                # ~20 ms ones
         log_chi2=False,         # the C demo times only the solver call
                                 # (aprilsam_demo.c:101-115); chi2 is computed
                                 # off the clock, here once at the end

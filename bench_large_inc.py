@@ -51,6 +51,8 @@ def main():
                     help="windowed-sweep panel capacity (0 = whole-graph "
                          "sweep per superstep; the pre-r5 behavior)")
     ap.add_argument("--sweep_full_every", type=int, default=16)
+    ap.add_argument("--superstep", type=int, default=64)
+    ap.add_argument("--policy_lag", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -82,7 +84,9 @@ def main():
         row_block_capacity=96,
         panel_nodes=args.panel_nodes,
         wallclock_gate=False,
-        policy_lag=2, policy_poll=1, superstep_size=32,
+        policy_lag=args.policy_lag, policy_poll=2,
+        superstep_size=args.superstep,
+        superstep_buckets=(64, 128, 256, 384, 640, 1024),
         sweep_window_panels=args.sweep_window,
         sweep_full_every=args.sweep_full_every,
         log_chi2=bool(args.log_chi2),

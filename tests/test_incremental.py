@@ -652,9 +652,12 @@ def test_superstep_m3500_bench_config():
 
     golden = np.loadtxt("tests/golden/m3500_inc_nogate_chi2.txt")
     K = 600
+    # mirror bench.py's worker config (r5: policy_lag=3/superstep_size=96
+    # with the 640 union bucket; measured prefix drift 0.0021 vs golden)
     cfg = SolverConfig(
-        wallclock_gate=False, policy_lag=2, policy_poll=1,
-        superstep_size=64, log_chi2=False)
+        wallclock_gate=False, policy_lag=3, policy_poll=2,
+        superstep_size=96, log_chi2=False,
+        superstep_buckets=(64, 128, 256, 384, 640, 1024))
     rep = Replay(load_g2o_text(M3500_TXT), cfg, deferred=True)
     rep.run(max_steps=K)
     chi2 = rep.solver.chi2()
