@@ -26,7 +26,8 @@ def main():
     cfg = SolverConfig(
         dtype=np.float32, node_capacity=4096, factor_capacity=8192,
         row_block_capacity=96, panel_nodes=128, wallclock_gate=False,
-        policy_lag=2, policy_poll=2, superstep_size=64, log_chi2=False,
+        policy_lag=3, policy_poll=2, superstep_size=96, log_chi2=False,
+        superstep_buckets=(64, 128, 256, 384, 640, 1024),
         batch_backend="panel",
     )
     T = collections.defaultdict(float)
