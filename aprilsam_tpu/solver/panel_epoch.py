@@ -552,6 +552,52 @@ def panel_epoch_step(
     GRAM_PREC = (jax.lax.Precision.HIGH
                  if _os.environ.get("ASN_GRAM_HIGH") else None)
 
+    # A-side hoist: the panel-diagonal assembly (Sd) and rhs (bP) depend
+    # only on kernel inputs — never on the factorization carry — so they
+    # batch over ALL panels outside the serial loops, shortening the
+    # per-panel dependency chain (the epoch is latency-bound on that
+    # chain, ~1.5-2 ms/panel).  Gated off for huge epochs: the batched
+    # panel-local one-hot is [NPANB, PANEL, BCAP, PANEL] (~200 MB at
+    # NPANB=32), so larger panel counts keep the in-body path.
+    HOIST = NPANB <= 32
+    if HOIST:
+        idx_all = R_idx_new[:NB].reshape(NPANB, PANEL, BCAP)
+        nnz_all = R_nnz_new[:NB].reshape(NPANB, PANEL)
+        rptr_all = row_ptr[:NB].reshape(NPANB, PANEL)
+        slotv_all = (jnp.arange(BCAP, dtype=jnp.int32)[None, None, :]
+                     < nnz_all[..., None])
+        a_rows_all = A_comp[jnp.clip(
+            rptr_all[..., None] + jnp.arange(BCAP, dtype=jnp.int32), 0,
+            KEXTA - 1)] * slotv_all[..., None, None]
+        dvP_all = dvec_full[:NB].reshape(NPANB, PANEL, 3)
+        dcol_a = dvec_full[jnp.clip(idx_all, 0, NCAP - 1)]
+        a_rows_all = (a_rows_all * dvP_all[:, :, None, :, None]
+                      * dcol_a[..., None, :])
+        loc = idx_all - (jnp.arange(NPANB, dtype=jnp.int32)
+                         * PANEL)[:, None, None]
+        in_pan = (loc >= 0) & (loc < PANEL) & slotv_all
+        ohd = (jax.nn.one_hot(jnp.clip(loc, 0, PANEL - 1), PANEL,
+                              dtype=dtype)
+               * in_pan[..., None].astype(dtype))
+        A9d = jax.lax.dot_general(
+            a_rows_all.reshape(NPANB, PANEL, BCAP, 9), ohd,
+            (((2,), (2,)), ((0, 1), (0, 1))),
+            precision=ONEHOT_PREC)                 # [NPANB, P, 9, PANEL]
+        Xd = A9d.reshape(NPANB, PANEL, 3, 3, PANEL).transpose(
+            0, 1, 2, 4, 3).reshape(NPANB, 3 * PANEL, 3 * PANEL)
+        Sd_all = jnp.triu(Xd) + jnp.swapaxes(jnp.triu(Xd, 1), -1, -2)
+        act_all = jnp.repeat(
+            (jnp.arange(NB, dtype=jnp.int32) < n).reshape(NPANB, PANEL),
+            3, axis=1)
+        tik_d = jnp.asarray(tikhonov, dtype=dtype)
+        wdiag = jnp.where(
+            act_all, tik_d * (dvP_all.reshape(NPANB, 3 * PANEL) ** 2),
+            jnp.asarray(1.0, dtype))
+        Sd_all = (Sd_all
+                  + jnp.eye(3 * PANEL, dtype=dtype)[None] * wdiag[:, None, :])
+        bP_all = (B_full[:NB].reshape(NPANB, PANEL, 3)
+                  * dvP_all).reshape(NPANB, 3 * PANEL)
+
     def make_body(MCg: int, NUg: int, crow_g, ucols_g):
       TT = PANEL + NUg
       MC = MCg
@@ -575,35 +621,53 @@ def panel_epoch_step(
         tcols = jnp.concatenate(
             [p0 + jnp.arange(PANEL, dtype=jnp.int32), ucols_k])
 
-        a_rows = A_comp[jnp.clip(
-            rptr_pan[:, None] + jnp.arange(BCAP, dtype=jnp.int32), 0,
-            KEXTA - 1)] * slotv[..., None, None]           # [P, BCAP, 3, 3]
-        # equilibrate A rows in place: row i scaled by dvec[panel row, i],
-        # col j by dvec[column block, j]
-        dvP = jax.lax.dynamic_slice(dvec_full, (p0, z0), (PANEL, 3))
-        dcol = dvec_full[jnp.clip(idx_pan, 0, NCAP - 1)]   # [P, BCAP, 3]
-        a_rows = a_rows * dvP[:, None, :, None] * dcol[:, :, None, :]
-
         oh_a = ((idx_pan[:, :, None] == tcols[None, None, :])
                 & slotv[..., None]).astype(dtype)          # [P, BCAP, T]
-        A9 = jax.lax.dot_general(
-            a_rows.reshape(PANEL, BCAP, 9), oh_a,
-            (((1,), (1,)), ((0,), (0,))),
-            precision=ONEHOT_PREC)                         # [P, 9, T]
-        Acomb = A9.reshape(PANEL, 3, 3, TT).transpose(0, 1, 3, 2).reshape(
-            P3, 3 * TT)                                    # [3p+i, 3t+j]
-        X = Acomb[:, :P3]
-        # reference upper-triangle rule at SCALAR level (aprilsam.c:216-225)
-        Sd = jnp.triu(X) + jnp.triu(X, 1).T
         active = jnp.repeat(prow < n, 3)
-        # tikhonov in equilibrated units (the dense path adds it before
-        # computing dvec; here dvec already includes it, so the scaled
-        # diagonal contribution is tik * dvec^2); padding rows get 1.0
-        Sd = Sd + jnp.eye(P3, dtype=dtype) * jnp.where(
-            active, tik * (dvP.reshape(P3) ** 2), 1.0)
-        Au = Acomb[:, P3:]
-        bP = (jax.lax.dynamic_slice(B_full, (p0, z0), (PANEL, 3))
-              * dvP).reshape(P3)
+        if HOIST:
+            # Sd/bP precomputed batched outside the loop; the body only
+            # builds the union-tail columns of A
+            a_rows = jax.lax.dynamic_slice(
+                a_rows_all, (k, z0, z0, z0, z0),
+                (1, PANEL, BCAP, 3, 3)).reshape(PANEL, BCAP, 3, 3)
+            Sd = jax.lax.dynamic_slice(
+                Sd_all, (k, z0, z0), (1, P3, P3)).reshape(P3, P3)
+            bP = jax.lax.dynamic_slice(
+                bP_all, (k, z0), (1, P3)).reshape(P3)
+            A9u = jax.lax.dot_general(
+                a_rows.reshape(PANEL, BCAP, 9), oh_a[:, :, PANEL:],
+                (((1,), (1,)), ((0,), (0,))),
+                precision=ONEHOT_PREC)                     # [P, 9, NU]
+            Au = A9u.reshape(PANEL, 3, 3, NUg).transpose(
+                0, 1, 3, 2).reshape(P3, 3 * NUg)
+        else:
+            a_rows = A_comp[jnp.clip(
+                rptr_pan[:, None] + jnp.arange(BCAP, dtype=jnp.int32), 0,
+                KEXTA - 1)] * slotv[..., None, None]       # [P, BCAP, 3, 3]
+            # equilibrate A rows in place: row i scaled by dvec[panel row,
+            # i], col j by dvec[column block, j]
+            dvP = jax.lax.dynamic_slice(dvec_full, (p0, z0), (PANEL, 3))
+            dcol = dvec_full[jnp.clip(idx_pan, 0, NCAP - 1)]
+            a_rows = a_rows * dvP[:, None, :, None] * dcol[:, :, None, :]
+            A9 = jax.lax.dot_general(
+                a_rows.reshape(PANEL, BCAP, 9), oh_a,
+                (((1,), (1,)), ((0,), (0,))),
+                precision=ONEHOT_PREC)                     # [P, 9, T]
+            Acomb = A9.reshape(PANEL, 3, 3, TT).transpose(
+                0, 1, 3, 2).reshape(P3, 3 * TT)            # [3p+i, 3t+j]
+            X = Acomb[:, :P3]
+            # reference upper-triangle rule at SCALAR level
+            # (aprilsam.c:216-225)
+            Sd = jnp.triu(X) + jnp.triu(X, 1).T
+            # tikhonov in equilibrated units (the dense path adds it
+            # before computing dvec; here dvec already includes it, so the
+            # scaled diagonal contribution is tik * dvec^2); padding rows
+            # get 1.0
+            Sd = Sd + jnp.eye(P3, dtype=dtype) * jnp.where(
+                active, tik * (dvP.reshape(P3) ** 2), 1.0)
+            Au = Acomb[:, P3:]
+            bP = (jax.lax.dynamic_slice(B_full, (p0, z0), (PANEL, 3))
+                  * dvP).reshape(P3)
 
         cr = jnp.clip(crow_k, 0, NCAP - 1)
         rows_c = Rb[cr]                                    # [MC, BCAP, 3, 3]
